@@ -1,0 +1,493 @@
+"""Chemeleon — joint 3-modality crystal diffusion on TPU.
+
+Rebuild of the reference diffusion module (reference:
+chemeleon/modules/chemeleon.py:31-490):
+
+  * atom types — D3PM absorbing-state discrete diffusion,
+  * lattice    — variance-preserving DDPM,
+  * coords     — variance-exploding score matching (wrapped-normal target),
+
+denoised by the dense CSPNet and conditioned on text via FiLM + CFG.
+
+TPU-first design (vs the reference's Python loop, SURVEY §3.1):
+
+  * The whole 1000-step predictor–corrector sampler is ONE jitted
+    ``lax.scan`` — zero host round-trips (the reference crosses
+    device->host every step, schema.py:74-79).
+  * CFG batches cond+null into a single decoder forward of batch 2B
+    (the reference runs two separate forwards per prediction,
+    chemeleon.py:258-285 — and 4 per step with the corrector).
+  * All schedule tables are precomputed [T+1] arrays indexed by the traced
+    timestep inside the scan.
+  * Functions are pure (params explicit) so they pjit/shard transparently.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from chemeleon_tpu.config import ChemeleonConfig
+from chemeleon_tpu.diffusion.d3pm import D3PM
+from chemeleon_tpu.diffusion.schedules import (
+    BetaScheduler,
+    SigmaScheduler,
+    d_log_p_wrapped_normal,
+    prob_mask_like,
+)
+from chemeleon_tpu.models.cspnet import CSPNet, sinusoidal_time_embedding
+from chemeleon_tpu.ops.graph import CrystalBatch, make_empty_batch, node_mask
+from chemeleon_tpu.utils.trajectory import TrajectoryContainer, TrajectoryStep
+
+# Lattice entries fixed at zero by pymatgen-style canonicalization
+# (reference chemeleon.py:70-73).
+MASK_LATTICE_MATRIX = np.array([[1, 0, 1], [1, 1, 1], [0, 0, 1]], np.float32)
+
+
+@struct.dataclass
+class SamplerState:
+    atom_types: jnp.ndarray   # [B, N] int32
+    lattices: jnp.ndarray     # [B, 3, 3]
+    frac_coords: jnp.ndarray  # [B, N, 3], wrapped to [0, 1)
+
+
+class Schedulers(NamedTuple):
+    beta: BetaScheduler
+    sigma: SigmaScheduler
+    d3pm: D3PM
+
+
+def build_schedulers(cfg: ChemeleonConfig) -> Schedulers:
+    beta = BetaScheduler.create(cfg.timesteps, cfg.beta_schedule)
+    sigma = SigmaScheduler.create(cfg.timesteps)
+    d3pm = D3PM.create(beta, cfg.timesteps, cfg.max_atoms, cfg.d3pm_hybrid_coeff)
+    return Schedulers(beta, sigma, d3pm)
+
+
+def build_decoder(cfg: ChemeleonConfig) -> CSPNet:
+    return CSPNet(
+        hidden_dim=cfg.hidden_dim, time_dim=cfg.time_dim,
+        text_dim=cfg.text_dim if cfg.text_guide else 0,
+        num_layers=cfg.num_layers, max_atoms=cfg.max_atoms, act_fn=cfg.act_fn,
+        dis_emb=cfg.dis_emb, num_freqs=cfg.num_freqs, edge_style=cfg.edge_style,
+        cutoff=cfg.cutoff, max_neighbors=cfg.max_neighbors, ln=cfg.ln,
+        ip=cfg.ip, smooth=cfg.smooth, pred_atom_types=cfg.pred_atom_types,
+        dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Training loss (reference Chemeleon.forward, chemeleon.py:137-244)
+# ---------------------------------------------------------------------------
+
+def diffusion_loss(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
+                   cfg: ChemeleonConfig, batch: CrystalBatch,
+                   text_embeds: Optional[jnp.ndarray],
+                   key: jax.Array) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Joint loss over the three modalities. ``text_embeds`` is the already
+    cond-dropped [B, text_dim] conditioning (or None when unguided).
+
+    Masked means reproduce the reference's flat-node means exactly (padding
+    does not exist upstream)."""
+    B, N = batch.atom_types.shape
+    mask = batch.node_mask
+    maskf = mask.astype(jnp.float32)
+    k_t, k_a, k_l, k_x = jax.random.split(key, 4)
+
+    batched_t = sched.beta.uniform_sample_t(k_t, B)              # [B] in 1..T
+    time_emb = sinusoidal_time_embedding(batched_t, cfg.time_dim)
+
+    alpha_cumprod = sched.beta.alphas_cumprod[batched_t]         # [B]
+    c0 = jnp.sqrt(alpha_cumprod)
+    c1 = jnp.sqrt(1.0 - alpha_cumprod)
+    sigmas = sched.sigma.sigmas[batched_t]
+    sigmas_norm = sched.sigma.sigmas_norm[batched_t]
+
+    # 1) D3PM q_sample for atom types (chemeleon.py:159-169)
+    t_per_node = batched_t[:, None]                              # [B, 1] -> bcast
+    a_0 = batch.atom_types
+    x_t_atom_types = sched.d3pm.q_sample_key(k_a, a_0, t_per_node)
+    # keep padding at the absorbing class
+    x_t_atom_types = jnp.where(mask, x_t_atom_types, 0)
+
+    # 2) VP lattice (chemeleon.py:171-175)
+    lmask = jnp.asarray(MASK_LATTICE_MATRIX)
+    noise_lattice = jax.random.normal(k_l, batch.lattices.shape) * lmask
+    x_t_lattice = (c0[:, None, None] * batch.lattices
+                   + c1[:, None, None] * noise_lattice)
+
+    # 3) VE coords with wrapped-normal target (chemeleon.py:177-188)
+    noise_coords = jax.random.normal(k_x, batch.frac_coords.shape)
+    sigmas_per_atom = sigmas[:, None, None]                      # [B, 1, 1]
+    sigmas_norm_per_atom = sigmas_norm[:, None, None]
+    target_coords = (d_log_p_wrapped_normal(sigmas_per_atom * noise_coords,
+                                            jnp.broadcast_to(sigmas_per_atom,
+                                                             noise_coords.shape))
+                     / jnp.sqrt(sigmas_norm_per_atom))
+    x_t_coords = (batch.frac_coords + sigmas_per_atom * noise_coords) % 1.0
+
+    out = decoder.apply(decoder_params, x_t_atom_types, x_t_coords,
+                        x_t_lattice, mask, time_emb, text_embeds)
+
+    # atom-type loss: VB + hybrid_coeff * CE (chemeleon.py:211-222)
+    true_logits = sched.d3pm.q_posterior_logits(a_0, x_t_atom_types, t_per_node)
+    pred_logits = sched.d3pm.q_posterior_logits(out.atom_types_out,
+                                                x_t_atom_types, t_per_node,
+                                                is_x_0_one_hot=True)
+    vb_loss = sched.d3pm.categorical_kl_logits(true_logits, pred_logits,
+                                               mask=mask)
+    logp = jax.nn.log_softmax(out.atom_types_out, axis=-1)
+    ce = -jnp.take_along_axis(logp, a_0[..., None], axis=-1)[..., 0]
+    ce_loss = (ce * maskf).sum() / jnp.maximum(maskf.sum(), 1.0)
+    loss_atom_types = vb_loss + ce_loss * sched.d3pm.hybrid_coeff
+
+    # lattice loss over the 6 unmasked entries (chemeleon.py:224-227)
+    diff_l = (out.lattice_out - noise_lattice) * lmask
+    loss_lattice = (diff_l ** 2).sum() / (B * lmask.sum())
+
+    # coords loss (chemeleon.py:229)
+    diff_x = (out.coords_out - target_coords) * maskf[..., None]
+    loss_coords = (diff_x ** 2).sum() / jnp.maximum(maskf.sum() * 3.0, 1.0)
+
+    loss = (cfg.cost_atom_types * loss_atom_types
+            + cfg.cost_lattice * loss_lattice
+            + cfg.cost_coords * loss_coords)
+
+    # MAE metrics matching base_module.py:55-72
+    mae_lattice = (jnp.abs(diff_l).sum() / (B * lmask.sum()))
+    mae_coords = (jnp.abs(diff_x).sum()
+                  / jnp.maximum(maskf.sum() * 3.0, 1.0))
+    metrics = {
+        "loss": loss,
+        "vb_loss_atom_types": vb_loss,
+        "ce_loss_atom_types": ce_loss,
+        "loss_lattice": loss_lattice,
+        "loss_coords": loss_coords,
+        "mae_lattice": mae_lattice,
+        "mae_coords": mae_coords,
+    }
+    return loss, metrics
+
+
+# ---------------------------------------------------------------------------
+# CFG model predictions (reference chemeleon.py:246-303), single 2B forward
+# ---------------------------------------------------------------------------
+
+def model_predictions(decoder_params: Any, decoder: CSPNet,
+                      time_emb: jnp.ndarray, atom_types: jnp.ndarray,
+                      frac_coords: jnp.ndarray, lattices: jnp.ndarray,
+                      mask: jnp.ndarray, cond_scale: float,
+                      text_embeds: Optional[jnp.ndarray],
+                      null_text_embeds: Optional[jnp.ndarray]):
+    if text_embeds is not None:
+        # One forward of batch 2B: [conditional; unconditional].
+        cat = lambda x: jnp.concatenate([x, x], axis=0)
+        out = decoder.apply(decoder_params, cat(atom_types), cat(frac_coords),
+                            cat(lattices), cat(mask), cat(time_emb),
+                            jnp.concatenate([text_embeds, null_text_embeds],
+                                            axis=0))
+        B = atom_types.shape[0]
+        mix = lambda y: ((1.0 - cond_scale) * y[B:] + cond_scale * y[:B])
+        return (mix(out.atom_types_out), mix(out.lattice_out),
+                mix(out.coords_out))
+    out = decoder.apply(decoder_params, atom_types, frac_coords, lattices,
+                        mask, time_emb, None)
+    return out.atom_types_out, out.lattice_out, out.coords_out
+
+
+# ---------------------------------------------------------------------------
+# Predictor–corrector sampler as a lax.scan (reference chemeleon.py:305-467)
+# ---------------------------------------------------------------------------
+
+def sampler_step(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
+                 cfg: ChemeleonConfig, state: SamplerState, t: jnp.ndarray,
+                 mask: jnp.ndarray, text_embeds: Optional[jnp.ndarray],
+                 null_text_embeds: Optional[jnp.ndarray], key: jax.Array,
+                 cond_scale: float, step_lr: float) -> SamplerState:
+    """One reverse step t -> t-1 (predictor + corrector)."""
+    B, N = state.atom_types.shape
+    C = cfg.max_atoms
+    lmask = jnp.asarray(MASK_LATTICE_MATRIX)
+    T = cfg.timesteps
+
+    key_t = jax.random.fold_in(key, t)
+    k_a, k_l, k_x1, k_x2 = jax.random.split(key_t, 4)
+    not_last = (t > 1).astype(jnp.float32)  # zero noise at t == 1
+
+    batched_t = jnp.full((B,), t, jnp.int32)
+    time_emb = sinusoidal_time_embedding(batched_t, cfg.time_dim)
+
+    a_t, l_t, x_t = state.atom_types, state.lattices, state.frac_coords
+
+    # ---- Predictor (chemeleon.py:387-398) ----
+    pred_a, pred_l, pred_x = model_predictions(
+        decoder_params, decoder, time_emb, a_t, x_t, l_t, mask, cond_scale,
+        text_embeds, null_text_embeds)
+
+    # atom types: D3PM ancestral step (chemeleon.py:399-411)
+    rand_a = jax.random.uniform(k_a, (B, N, C))
+    t_bn = jnp.full((B, N), t, jnp.int32)
+    a_next = sched.d3pm.p_logits(pred_a, a_t, t_bn, rand_a)
+    a_next = jnp.where(mask, a_next, 0)
+
+    # lattice: DDPM ancestral step (chemeleon.py:412-425)
+    alpha_t = sched.beta.alphas[t]
+    acp_t = sched.beta.alphas_cumprod[t]
+    sig_t = sched.beta.sigmas[t]
+    c0 = 1.0 / jnp.sqrt(alpha_t)
+    c1 = (1.0 - alpha_t) / jnp.sqrt(1.0 - acp_t)
+    rand_l = jax.random.normal(k_l, (B, 3, 3)) * not_last * lmask
+    l_next = c0 * (l_t - c1 * pred_l) + sig_t * rand_l
+    l_next = l_next * lmask
+    l_next = jnp.where(t == T, jnp.clip(l_next, -6.0, 6.0), l_next)
+
+    # coords half-step: VE ancestral (chemeleon.py:426-437)
+    sx = sched.sigma.sigmas[t]
+    sn = sched.sigma.sigmas_norm[t]
+    adj = sched.sigma.sigmas[t - 1]
+    step_size = sx ** 2 - adj ** 2
+    std_x = jnp.sqrt((adj ** 2 * (sx ** 2 - adj ** 2)) / (sx ** 2))
+    rand_x = jax.random.normal(k_x1, (B, N, 3)) * not_last
+    x_half = x_t - step_size * (pred_x * jnp.sqrt(sn)) + std_x * rand_x
+
+    # ---- Corrector (chemeleon.py:439-457): Langevin on coords ----
+    _, _, pred_x2 = model_predictions(
+        decoder_params, decoder, time_emb, a_next, x_half, l_next, mask,
+        cond_scale, text_embeds, null_text_embeds)
+    step2 = step_lr * (sx / sched.sigma.sigma_begin) ** 2
+    std2 = jnp.sqrt(2.0 * step2)
+    rand_x2 = jax.random.normal(k_x2, (B, N, 3)) * not_last
+    x_next = x_half - step2 * (pred_x2 * jnp.sqrt(sn)) + std2 * rand_x2
+
+    return SamplerState(atom_types=a_next, lattices=l_next,
+                        frac_coords=x_next % 1.0)
+
+
+def init_sampler_state(key: jax.Array, natoms: jnp.ndarray,
+                       n_max: int) -> Tuple[SamplerState, jnp.ndarray]:
+    """Pure-noise init (chemeleon.py:346-349): a_T all-dummy, l_T masked
+    N(0,1), x_T N(0,1) wrapped."""
+    B = natoms.shape[0]
+    k_l, k_x = jax.random.split(key)
+    lmask = jnp.asarray(MASK_LATTICE_MATRIX)
+    a_T = jnp.zeros((B, n_max), jnp.int32)
+    l_T = jax.random.normal(k_l, (B, 3, 3)) * lmask
+    x_T = jax.random.normal(k_x, (B, n_max, 3))
+    mask = node_mask(natoms, n_max)
+    return SamplerState(a_T, l_T, x_T % 1.0), mask
+
+
+def run_sampler_scan(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
+                     cfg: ChemeleonConfig, state: SamplerState,
+                     ts: jnp.ndarray, mask: jnp.ndarray,
+                     text_embeds: Optional[jnp.ndarray],
+                     null_text_embeds: Optional[jnp.ndarray], key: jax.Array,
+                     cond_scale: float, step_lr: float,
+                     record_traj: bool):
+    """Scan the reverse process over ``ts`` (descending timesteps)."""
+
+    def body(carry: SamplerState, t):
+        nxt = sampler_step(decoder_params, decoder, sched, cfg, carry, t,
+                           mask, text_embeds, null_text_embeds, key,
+                           cond_scale, step_lr)
+        ys = ((nxt.atom_types, nxt.frac_coords, nxt.lattices)
+              if record_traj else None)
+        return nxt, ys
+
+    return jax.lax.scan(body, state, ts)
+
+
+# ---------------------------------------------------------------------------
+# Public facade
+# ---------------------------------------------------------------------------
+
+class Chemeleon:
+    """User-facing model (reference Chemeleon LightningModule,
+    chemeleon.py:31-490). Holds config + modules + params; heavy math lives
+    in the pure functions above."""
+
+    def __init__(self, config: ChemeleonConfig,
+                 text_backend: str = "auto"):
+        self.cfg = config
+        self.decoder = build_decoder(config)
+        self.sched = build_schedulers(config)
+        self.text_encoder = None
+        if config.text_guide:
+            from chemeleon_tpu.text.encoder import TextEncoder
+            self.text_encoder = TextEncoder(
+                text_encoder_name=config.text_encoder,
+                text_embed_dim=config.text_embed_dim,
+                max_text_len=config.max_text_len,
+                text_dim=config.text_dim,
+                trainable_text_encoder=config.trainable_text_encoder,
+                backend=text_backend)
+        self.params: Optional[Dict[str, Any]] = None
+        self._sampler_cache: Dict[Tuple, Any] = {}
+
+    # -- params -------------------------------------------------------------
+    def init_params(self, key: jax.Array, n_max: int = 8) -> Dict[str, Any]:
+        k_dec, k_txt = jax.random.split(key)
+        B = 2
+        types = jnp.zeros((B, n_max), jnp.int32)
+        coords = jnp.zeros((B, n_max, 3))
+        lat = jnp.eye(3)[None].repeat(B, 0)
+        mask = jnp.ones((B, n_max), bool)
+        temb = sinusoidal_time_embedding(jnp.ones((B,)), self.cfg.time_dim)
+        text = (jnp.zeros((B, self.cfg.text_dim))
+                if self.cfg.text_guide else None)
+        dec = self.decoder.init(k_dec, types, coords, lat, mask, temb, text)
+        params = {"decoder": dec}
+        if self.text_encoder is not None:
+            params["text"] = self.text_encoder.init_params(k_txt)
+        self.params = params
+        return params
+
+    # -- training loss -------------------------------------------------------
+    def loss(self, params: Dict[str, Any], batch: CrystalBatch,
+             raw_text: Optional[jnp.ndarray], key: jax.Array):
+        """Jit-friendly loss. ``raw_text``: [B, text_embed_dim] backend
+        embeddings (host-computed) or None when unguided."""
+        text_embeds = None
+        k_drop, k_loss = jax.random.split(key)
+        if self.cfg.text_guide:
+            keep = prob_mask_like(k_drop, (batch.batch_size,),
+                                  1.0 - self.cfg.cond_drop_prob)
+            text_embeds = self.text_encoder.conditioner.apply(
+                params["text"], raw_text, keep)
+        return diffusion_loss(params["decoder"], self.decoder, self.sched,
+                              self.cfg, batch, text_embeds, k_loss)
+
+    # -- sampling ------------------------------------------------------------
+    def _get_compiled_sampler(self, B: int, n_max: int, record_traj: bool,
+                              chunk: Optional[int]):
+        sig = (B, n_max, record_traj, chunk, self.cfg.text_guide)
+        if sig in self._sampler_cache:
+            return self._sampler_cache[sig]
+
+        decoder, sched, cfg = self.decoder, self.sched, self.cfg
+
+        @functools.partial(jax.jit, static_argnames=())
+        def run(params, natoms, text_embeds, null_text_embeds, key,
+                cond_scale, step_lr, ts, state_in=None):
+            if state_in is None:
+                state, mask = init_sampler_state(key, natoms, n_max)
+            else:
+                state = state_in
+                mask = node_mask(natoms, n_max)
+            final, traj = run_sampler_scan(
+                params, decoder, sched, cfg, state, ts, mask,
+                text_embeds if cfg.text_guide else None,
+                null_text_embeds if cfg.text_guide else None,
+                jax.random.fold_in(key, 1), cond_scale, step_lr, record_traj)
+            return final, traj
+
+        self._sampler_cache[sig] = run
+        return run
+
+    def sample_batch(self, natoms: List[int],
+                     texts: Optional[List[str]] = None,
+                     cond_scale: float = 2.0, step_lr: float = 1e-5,
+                     key: Optional[jax.Array] = None,
+                     return_trajectory: bool = False,
+                     n_max: Optional[int] = None):
+        """Batched sampling API (heals the reference's API skew — SURVEY §3.5:
+        evaluate.py/dash_app.py call an older (natoms, texts) signature)."""
+        assert self.params is not None, "call init_params() or load a checkpoint"
+        if texts is not None:
+            assert len(natoms) == len(texts), \
+                "natoms and texts must have the same number of elements."
+        if key is None:
+            key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+
+        cfg = self.cfg
+        batch0 = make_empty_batch(natoms, n_max=n_max, buckets=cfg.pad_buckets)
+        B, N = batch0.atom_types.shape
+
+        text_embeds = null_embeds = jnp.zeros((B, max(cfg.text_dim, 1)))
+        if cfg.text_guide:
+            text_embeds, null_embeds = self.text_encoder.embed_cond_and_null(
+                self.params["text"], texts)
+
+        run = self._get_compiled_sampler(B, N, return_trajectory, None)
+        ts = jnp.arange(cfg.timesteps, 0, -1)
+        final, traj = run(self.params["decoder"], batch0.natoms, text_embeds,
+                          null_embeds, key, cond_scale, step_lr, ts)
+
+        natoms_np = np.asarray(batch0.natoms)
+        if return_trajectory:
+            tt, tx, tl = traj
+            container = TrajectoryContainer.from_scan_output(
+                natoms_np, np.asarray(tt), np.asarray(tx), np.asarray(tl),
+                total_steps=cfg.timesteps)
+            return container
+        step = TrajectoryStep(natoms=natoms_np,
+                              atom_types=np.asarray(final.atom_types),
+                              frac_coords=np.asarray(final.frac_coords),
+                              lattices=np.asarray(final.lattices))
+        return step.get_crystals()
+
+    def sample(self, text_input: Optional[str], n_atoms: int, n_samples: int,
+               cond_scale: float = 2.0, step_lr: float = 1e-5,
+               return_trajectory: bool = False, stream: bool = False,
+               key: Optional[jax.Array] = None,
+               stream_chunk: int = 100):
+        """Reference-parity sampling API (chemeleon.py:469-490)."""
+        natoms = [n_atoms] * n_samples
+        texts = [text_input] * n_samples if text_input is not None else None
+        if stream:
+            return self._sample_stream(natoms, texts, cond_scale, step_lr,
+                                       key, stream_chunk)
+        result = self.sample_batch(natoms, texts, cond_scale, step_lr, key,
+                                   return_trajectory=return_trajectory)
+        if return_trajectory:
+            return result.get_trajectory()
+        return result
+
+    def _sample_stream(self, natoms, texts, cond_scale, step_lr, key,
+                       chunk: int):
+        """Generator yielding crystals every ``chunk`` steps via chunked scans
+        (the jit-compatible analog of the reference's per-step streaming,
+        chemeleon.py:379-467 / app/server.py:22-47)."""
+        assert self.params is not None
+        cfg = self.cfg
+        assert cfg.timesteps % chunk == 0, "chunk must divide timesteps"
+        if key is None:
+            key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+        if texts is not None:
+            assert len(natoms) == len(texts)
+
+        batch0 = make_empty_batch(natoms, buckets=cfg.pad_buckets)
+        B, N = batch0.atom_types.shape
+        text_embeds = null_embeds = jnp.zeros((B, max(cfg.text_dim, 1)))
+        if cfg.text_guide:
+            text_embeds, null_embeds = self.text_encoder.embed_cond_and_null(
+                self.params["text"], texts)
+
+        run = self._get_compiled_sampler(B, N, False, chunk)
+        state, _ = init_sampler_state(key, batch0.natoms, N)
+        natoms_np = np.asarray(batch0.natoms)
+        for start in range(cfg.timesteps, 0, -chunk):
+            ts = jnp.arange(start, start - chunk, -1)
+            state, _ = run(self.params["decoder"], batch0.natoms, text_embeds,
+                           null_embeds, key, cond_scale, step_lr, ts,
+                           state_in=state)
+            step = TrajectoryStep(natoms=natoms_np,
+                                  atom_types=np.asarray(state.atom_types),
+                                  frac_coords=np.asarray(state.frac_coords),
+                                  lattices=np.asarray(state.lattices))
+            yield step.get_crystals()
+
+    # -- checkpoint loading ----------------------------------------------------
+    @classmethod
+    def load_general_text_model(cls, **kwargs) -> "Chemeleon":
+        from chemeleon_tpu.utils.checkpoints import load_pretrained
+        return load_pretrained("general_text", **kwargs)
+
+    @classmethod
+    def load_composition_model(cls, **kwargs) -> "Chemeleon":
+        from chemeleon_tpu.utils.checkpoints import load_pretrained
+        return load_pretrained("composition", **kwargs)

@@ -1,0 +1,272 @@
+"""CSPNet score network — dense, TPU-native flax.linen rebuild.
+
+Re-implements the reference CSPNet GNN denoiser (reference:
+chemeleon/modules/cspnet.py:184-405, itself adapted from DiffCSP) on dense
+padded batches ``[B, N, ...]`` instead of flattened PyG graphs.
+
+Math is identical to the reference; the *compute schedule* is TPU-first:
+
+  * fc message passing is a masked all-pairs op. The first edge-MLP linear over
+    ``[h_i, h_j, lat_ip(9), fourier_ij]`` (cspnet.py:113-118, :150-151) is
+    algebraically decomposed into per-node terms ``h @ W_i``, ``h @ W_j``, a
+    per-graph lattice term, and one genuinely pairwise matmul
+    ``fourier @ W_f`` — turning an O(N^2 * (2H+9+F) * H) contraction into
+    O(N * H^2) + O(N^2 * F * H), all MXU-shaped batched matmuls.
+  * Edge aggregation (reference scatter_mean over edge_index[0],
+    cspnet.py:154-160) becomes a masked mean over the j axis — no scatters.
+  * The pairwise Fourier features are computed once and reused by all layers,
+    matching the reference (frac_diff computed once in gen_edges,
+    cspnet.py:355) and carry a stop_gradient like the reference's
+    ``.detach()`` (cspnet.py:52).
+
+Self-loops are included in the fc edge set, as in the reference
+(torch.ones(n, n) diagonal, cspnet.py:320-324).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from chemeleon_tpu.ops.graph import (
+    fc_pair_mask,
+    masked_mean_nodes,
+    masked_mean_pairs,
+    pairwise_frac_diff,
+)
+
+
+class DecoderOutputs(NamedTuple):
+    """Mirror of the reference's DECODER_OUTPUTS namedtuple (cspnet.py:16-18)."""
+    atom_types_out: Optional[jnp.ndarray]  # [B, N, max_atoms]
+    lattice_out: jnp.ndarray               # [B, 3, 3]
+    coords_out: jnp.ndarray                # [B, N, 3]
+    node_features: jnp.ndarray             # [B, N, hidden_dim]
+
+
+def sinusoidal_time_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """'Attention is all you need' time embedding (cspnet.py:21-35).
+    t: [B] -> [B, dim]."""
+    half_dim = dim // 2
+    scale = math.log(10000.0) / (half_dim - 1)
+    freqs = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -scale)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+def sinusoids_embedding(x: jnp.ndarray, n_frequencies: int) -> jnp.ndarray:
+    """Periodic Fourier distance features (cspnet.py:38-52).
+
+    x: [..., 3] -> [..., n_frequencies * 2 * 3]. Frequencies are
+    2*pi*arange(F) (including 0), ordering (coord-major then freq) and the
+    stop_gradient match the reference exactly.
+    """
+    freqs = 2.0 * math.pi * jnp.arange(n_frequencies, dtype=x.dtype)
+    emb = x[..., None] * freqs                                   # [..., 3, F]
+    emb = emb.reshape(*x.shape[:-1], 3 * n_frequencies)          # [..., 3F]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)  # [..., 6F]
+    return jax.lax.stop_gradient(emb)
+
+
+class FilmLayer(nn.Module):
+    """Feature-wise linear modulation + residual block (cspnet.py:55-97).
+
+    A single instance is shared across all message-passing layers, as in the
+    reference (cspnet.py:212, :371-375).
+    """
+    hidden_dim: int
+    cond_dim: int  # time_dim + text_dim
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+        # x: [B, N, H]; cond: [B, cond_dim]
+        cond_emb = nn.Dense(self.hidden_dim * 2, name="mlp_cond",
+                            dtype=self.dtype)(cond)
+        cond_emb = nn.silu(cond_emb)
+        scale, shift = jnp.split(cond_emb, 2, axis=-1)           # [B, H] each
+        x_init = x
+        x = nn.Dense(self.hidden_dim, name="proj", dtype=self.dtype)(x)
+        x = nn.LayerNorm(name="norm", dtype=self.dtype)(x)
+        x = x * scale[:, None, :] + shift[:, None, :]
+        x = nn.silu(x)
+        return x + x_init
+
+
+class CSPLayer(nn.Module):
+    """One dense message-passing layer (reference CSPLayer, cspnet.py:100-181).
+
+    Parameters keep the reference's logical layout (edge_mlp has input
+    ``[h_i, h_j, lat_ip_flat(9), fourier]``) so checkpoints convert 1:1; the
+    forward pass slices the first kernel into its four blocks and applies the
+    decomposed schedule described in the module docstring.
+    """
+    hidden_dim: int
+    dis_dim: int      # fourier dim (num_freqs * 6) or 3 when dis_emb is None
+    ln: bool = False
+    ip: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, node_features: jnp.ndarray, fourier_ij: jnp.ndarray,
+                 lat_ip_flat: jnp.ndarray, pair_mask: jnp.ndarray,
+                 mask: jnp.ndarray) -> jnp.ndarray:
+        H, D = self.hidden_dim, self.dis_dim
+        in_dim = 2 * H + 9 + D
+
+        # Parameters (same shapes as reference nn.Linear weights, transposed
+        # to flax's [in, out] convention).
+        e1_kernel = self.param("edge_lin1_kernel", nn.initializers.lecun_normal(),
+                               (in_dim, H), jnp.float32)
+        e1_bias = self.param("edge_lin1_bias", nn.initializers.zeros, (H,),
+                             jnp.float32)
+        dt = self.dtype
+        e1_kernel = e1_kernel.astype(dt)
+
+        node_input = node_features
+        if self.ln:
+            node_features = nn.LayerNorm(name="layer_norm",
+                                         dtype=dt)(node_features)
+
+        h = node_features.astype(dt)
+        # Decomposed first edge linear: blocks [W_i; W_j; W_lat; W_f].
+        w_i = e1_kernel[:H]
+        w_j = e1_kernel[H: 2 * H]
+        w_lat = e1_kernel[2 * H: 2 * H + 9]
+        w_f = e1_kernel[2 * H + 9:]
+
+        term_i = h @ w_i                                          # [B, N, H]
+        term_j = h @ w_j                                          # [B, N, H]
+        term_lat = lat_ip_flat.astype(dt) @ w_lat                 # [B, H]
+        term_f = fourier_ij.astype(dt) @ w_f                      # [B, N, N, H]
+
+        e = (term_i[:, :, None, :] + term_j[:, None, :, :]
+             + term_lat[:, None, None, :] + term_f + e1_bias.astype(dt))
+        e = nn.silu(e)
+        e = nn.Dense(H, name="edge_lin2", dtype=dt)(e)
+        e = nn.silu(e)                                            # [B, N, N, H]
+
+        agg = masked_mean_pairs(e, pair_mask)                     # [B, N, H]
+
+        # Node MLP on concat([h, agg]) (cspnet.py:119-124, :154-163),
+        # decomposed the same way.
+        n1_kernel = self.param("node_lin1_kernel", nn.initializers.lecun_normal(),
+                               (2 * H, H), jnp.float32).astype(dt)
+        n1_bias = self.param("node_lin1_bias", nn.initializers.zeros, (H,),
+                             jnp.float32)
+        out = h @ n1_kernel[:H] + agg @ n1_kernel[H:] + n1_bias.astype(dt)
+        out = nn.silu(out)
+        out = nn.Dense(H, name="node_lin2", dtype=dt)(out)
+        out = nn.silu(out)
+
+        return node_input + out.astype(node_input.dtype)
+
+
+class CSPNet(nn.Module):
+    """Dense CSPNet (reference cspnet.py:184-405).
+
+    Inputs are dense padded batches; ``mask`` marks real atoms. ``t_emb`` and
+    ``text_embeds`` are per-graph and broadcast per node (the reference's
+    repeat_interleave, cspnet.py:359-369).
+    """
+    hidden_dim: int = 512
+    time_dim: int = 128
+    text_dim: int = 512
+    num_layers: int = 6
+    max_atoms: int = 104
+    act_fn: str = "silu"
+    dis_emb: str = "sin"
+    num_freqs: int = 128
+    edge_style: str = "fc"
+    cutoff: float = 6.0
+    max_neighbors: int = 20
+    ln: bool = True
+    ip: bool = True
+    smooth: bool = False
+    pred_atom_types: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, atom_types: jnp.ndarray, frac_coords: jnp.ndarray,
+                 lattices: jnp.ndarray, mask: jnp.ndarray,
+                 t_emb: Optional[jnp.ndarray] = None,
+                 text_embeds: Optional[jnp.ndarray] = None) -> DecoderOutputs:
+        if self.edge_style != "fc":
+            raise NotImplementedError(
+                "knn edge_style is handled by the flattened path; the dense "
+                "CSPNet implements the reference default edge_style='fc' "
+                "(config.py:36). The upstream knn path is broken anyway "
+                "(data_utils.py:7).")
+        dt = self.dtype
+        B, N = atom_types.shape
+
+        pair_mask = fc_pair_mask(mask)
+        frac_diff = pairwise_frac_diff(frac_coords)               # [B, N, N, 3]
+        if self.dis_emb == "sin":
+            fourier_ij = sinusoids_embedding(frac_diff, self.num_freqs)
+            dis_dim = self.num_freqs * 2 * 3
+        else:
+            fourier_ij = frac_diff
+            dis_dim = 3
+
+        # Lattice inner products, flattened per graph (cspnet.py:144-149).
+        if self.ip:
+            lat_ip = jnp.einsum("bij,bkj->bik", lattices, lattices)
+        else:
+            lat_ip = lattices
+        lat_ip_flat = lat_ip.reshape(B, 9)
+
+        # Node embedding (cspnet.py:206-210, :357).
+        if self.smooth:
+            one_hot = jax.nn.one_hot(atom_types, self.max_atoms, dtype=dt)
+            h = nn.Dense(self.hidden_dim, name="node_embedding", dtype=dt)(one_hot)
+        else:
+            h = nn.Embed(self.max_atoms, self.hidden_dim, name="node_embedding",
+                         dtype=dt)(atom_types)
+
+        # Conditioning (FiLM shared across layers, cspnet.py:211-212, :371-375).
+        cond = None
+        if t_emb is not None and text_embeds is not None:
+            cond = jnp.concatenate([t_emb, text_embeds], axis=-1)
+        elif t_emb is not None:
+            cond = t_emb
+        elif text_embeds is not None:
+            cond = text_embeds
+
+        film = (FilmLayer(self.hidden_dim, cond_dim=self.time_dim + self.text_dim,
+                          name="film_layer", dtype=dt)
+                if (self.time_dim > 0 or self.text_dim > 0) else None)
+
+        for i in range(self.num_layers):
+            if cond is not None and film is not None:
+                h = film(h, cond)
+            h = CSPLayer(self.hidden_dim, dis_dim, ln=self.ln, ip=self.ip,
+                         name=f"csp_layer_{i}", dtype=dt)(
+                h, fourier_ij, lat_ip_flat, pair_mask, mask)
+
+        if self.ln:
+            h = nn.LayerNorm(name="final_layer_norm", dtype=dt)(h)
+
+        coord_out = nn.Dense(3, use_bias=False, name="coord_out", dtype=dt)(h)
+
+        graph_features = masked_mean_nodes(h, mask)               # [B, H]
+        lattice_out = nn.Dense(9, use_bias=False, name="lattice_out",
+                               dtype=dt)(graph_features)
+        lattice_out = lattice_out.reshape(B, 3, 3)
+        if self.ip:
+            lattice_out = jnp.einsum("bij,bjk->bik", lattice_out,
+                                     lattices.astype(lattice_out.dtype))
+
+        type_out = None
+        if self.pred_atom_types:
+            type_out = nn.Dense(self.max_atoms, name="type_out", dtype=dt)(h)
+
+        f32 = lambda a: None if a is None else a.astype(jnp.float32)
+        return DecoderOutputs(atom_types_out=f32(type_out),
+                              lattice_out=f32(lattice_out),
+                              coords_out=f32(coord_out),
+                              node_features=f32(h))

@@ -1,0 +1,221 @@
+"""Text conditioning for chemeleon-tpu.
+
+Rebuild of the reference TextEncoder (reference:
+chemeleon/text_encoder/text_encoder.py:22-205). Split into:
+
+  * a host-side *backend* that turns raw strings into fixed-size embeddings
+    (tokenization + frozen LM forward). Backends:
+      - "hf":   HuggingFace Flax models (BERT-family CLS token,
+                text_encoder.py:172-177; T5/causal-LM masked mean-pool,
+                :142-171). Requires the weights to be present in the local HF
+                cache — this environment has zero egress, so nothing is ever
+                downloaded implicitly.
+      - "hash": a deterministic offline fallback — a seeded Gaussian embedding
+                per unique string. Exercises the full CFG/conditioning
+                machinery without any pretrained weights; clearly NOT a
+                semantically meaningful encoder.
+  * a jit-compatible flax projection head: learned null embedding
+    (text_encoder.py:46), CFG cond-drop swap (:194-202), optional CLIP text
+    projection (:180-182), and the text_emb MLP (:40-45).
+
+The backend runs on host once per sample batch; everything downstream is pure
+JAX and lives inside the compiled sampler/train step.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from chemeleon_tpu.diffusion.schedules import prob_mask_like
+from chemeleon_tpu.text.registry import MODEL_NAMES
+
+
+class ProjectionMLP(nn.Module):
+    """Linear -> LayerNorm -> GELU -> Linear. Used for both the text_emb head
+    (text_encoder.py:40-45) and the CLIP projection heads
+    (crystal_clip.py:62-73)."""
+    in_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.in_dim, name="lin1", dtype=self.dtype)(x)
+        x = nn.LayerNorm(name="norm", dtype=self.dtype)(x)
+        x = nn.gelu(x)
+        x = nn.Dense(self.out_dim, name="lin2", dtype=self.dtype)(x)
+        return x
+
+
+class TextConditioner(nn.Module):
+    """The jit-side half of TextEncoder: null-embedding swap + projection.
+
+    raw_embeds: [B, text_embed_dim] from a backend (already CLIP-projected if
+    a CLIP model is attached). keep_mask: [B] bool from prob_mask_like.
+    """
+    text_embed_dim: int
+    text_dim: int
+
+    @nn.compact
+    def __call__(self, raw_embeds: jnp.ndarray,
+                 keep_mask: jnp.ndarray) -> jnp.ndarray:
+        null = self.param("null_text_embeds", nn.initializers.normal(1.0),
+                          (1, self.text_embed_dim), jnp.float32)
+        x = jnp.where(keep_mask[:, None], raw_embeds,
+                      jnp.broadcast_to(null, raw_embeds.shape))
+        return ProjectionMLP(self.text_embed_dim, self.text_dim,
+                             name="text_emb")(x)
+
+
+# ---------------------------------------------------------------------------
+# Backends
+# ---------------------------------------------------------------------------
+
+class HashTextBackend:
+    """Deterministic offline embedding: seeded N(0, 1) per unique string."""
+
+    def __init__(self, text_embed_dim: int):
+        self.text_embed_dim = text_embed_dim
+        self._cache: dict[str, np.ndarray] = {}
+
+    def __call__(self, texts: List[str]) -> np.ndarray:
+        out = np.empty((len(texts), self.text_embed_dim), np.float32)
+        for i, t in enumerate(texts):
+            if t not in self._cache:
+                seed = int.from_bytes(
+                    hashlib.sha256(t.encode()).digest()[:4], "little")
+                rng = np.random.default_rng(seed)
+                self._cache[t] = rng.standard_normal(
+                    self.text_embed_dim).astype(np.float32)
+            out[i] = self._cache[t]
+        return out
+
+
+class HFTextBackend:
+    """HuggingFace Flax backend; mirrors the reference pooling rules
+    (text_encoder.py:129-177). Only loads from the local cache/path."""
+
+    def __init__(self, model_name: str, max_text_len: int):
+        self.model_name = model_name
+        self.max_text_len = max_text_len
+        from transformers import AutoTokenizer  # local import: optional dep path
+        kw = dict(local_files_only=True)
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name, **kw)
+        if model_name.startswith("t5"):
+            from transformers import FlaxT5EncoderModel
+            self.model = FlaxT5EncoderModel.from_pretrained(model_name, **kw)
+            self.pooling = "mean"
+        elif model_name.startswith(("microsoft", "meta-llama")):
+            from transformers import FlaxAutoModelForCausalLM
+            self.model = FlaxAutoModelForCausalLM.from_pretrained(
+                model_name, output_hidden_states=True, **kw)
+            if self.tokenizer.pad_token is None:
+                self.tokenizer.pad_token = self.tokenizer.eos_token
+            self.pooling = "mean_hidden"
+        else:
+            from transformers import FlaxBertModel
+            self.model = FlaxBertModel.from_pretrained(model_name, **kw)
+            self.pooling = "cls"
+
+    def __call__(self, texts: List[str]) -> np.ndarray:
+        tok = self.tokenizer(texts, padding="longest",
+                             max_length=self.max_text_len, truncation=True,
+                             return_tensors="np")
+        outputs = self.model(input_ids=tok["input_ids"],
+                             attention_mask=tok["attention_mask"])
+        am = tok["attention_mask"][..., None].astype(np.float32)
+        if self.pooling == "cls":
+            emb = outputs.last_hidden_state[:, 0, :]
+        elif self.pooling == "mean":
+            emb = np.asarray(outputs.last_hidden_state) * am
+            emb = emb.mean(axis=1)
+        else:  # mean of last hidden states for causal LMs
+            hs = np.asarray(outputs.hidden_states[-1]) * am
+            emb = hs.mean(axis=1)
+        return np.asarray(emb, dtype=np.float32)
+
+
+def make_backend(text_encoder_name: str, text_embed_dim: int, max_text_len: int,
+                 backend: str = "auto") -> Callable[[List[str]], np.ndarray]:
+    if backend == "hash":
+        return HashTextBackend(text_embed_dim)
+    if backend in ("hf", "auto"):
+        try:
+            return HFTextBackend(text_encoder_name, max_text_len)
+        except Exception as e:  # no local weights / unsupported arch
+            if backend == "hf":
+                raise RuntimeError(
+                    f"HF backend for {text_encoder_name!r} unavailable "
+                    f"(no local weights?): {e}") from e
+            return HashTextBackend(text_embed_dim)
+    raise ValueError(f"Unknown text backend: {backend}")
+
+
+# ---------------------------------------------------------------------------
+# TextEncoder facade
+# ---------------------------------------------------------------------------
+
+class TextEncoder:
+    """Host+device text encoder matching the reference API surface
+    (get_text_embeds, text_encode; text_encoder.py:129-205)."""
+
+    def __init__(self, text_encoder_name: str = "lfoppiano/MatTPUSciBERT",
+                 text_embed_dim: int = 768, max_text_len: int = 256,
+                 text_dim: int = 512, trainable_text_encoder: bool = False,
+                 pretrained_clip_apply: Optional[Callable] = None,
+                 backend: str = "auto"):
+        if (not text_encoder_name.startswith("chemeleon/")
+                and text_encoder_name not in MODEL_NAMES and backend != "hash"):
+            raise ValueError(
+                f"Invalid model name {text_encoder_name!r}. "
+                f"Must be one of {MODEL_NAMES}")
+        self.text_encoder_name = text_encoder_name
+        self.text_embed_dim = text_embed_dim
+        self.max_text_len = max_text_len
+        self.text_dim = text_dim
+        self.trainable_text_encoder = trainable_text_encoder
+        # Optional fn(raw [B, D_enc]) -> [B, text_embed_dim]: the CLIP text
+        # projection applied to backend output (text_encoder.py:180-182).
+        self.clip_apply = pretrained_clip_apply
+        self.backend = make_backend(text_encoder_name, text_embed_dim,
+                                    max_text_len, backend)
+        self.conditioner = TextConditioner(text_embed_dim, text_dim)
+
+    def init_params(self, key: jax.Array):
+        dummy = jnp.zeros((1, self.text_embed_dim))
+        keep = jnp.ones((1,), bool)
+        return self.conditioner.init(key, dummy, keep)
+
+    def text_encode(self, texts: List[str]) -> jnp.ndarray:
+        """Backend forward (+ CLIP text projection if attached): [B, D]."""
+        raw = jnp.asarray(self.backend(list(texts)))
+        if self.clip_apply is not None:
+            raw = self.clip_apply(raw)
+        return raw
+
+    def get_text_embeds(self, params, texts: List[str], cond_drop_prob: float,
+                        key: Optional[jax.Array] = None) -> jnp.ndarray:
+        """[B, text_dim] with CFG cond-drop (text_encoder.py:186-205)."""
+        raw = self.text_encode(texts)
+        B = raw.shape[0]
+        if cond_drop_prob in (0.0, 1.0) or key is None:
+            keep = prob_mask_like(jax.random.PRNGKey(0), (B,),
+                                  1.0 - cond_drop_prob)
+        else:
+            keep = prob_mask_like(key, (B,), 1.0 - cond_drop_prob)
+        return self.conditioner.apply(params, raw, keep)
+
+    def embed_cond_and_null(self, params, texts: List[str]):
+        """Convenience for sampling: (cond_embeds, null_embeds), each
+        [B, text_dim] (reference chemeleon.py:364-374)."""
+        raw = self.text_encode(texts)
+        B = raw.shape[0]
+        cond = self.conditioner.apply(params, raw, jnp.ones((B,), bool))
+        null = self.conditioner.apply(params, raw, jnp.zeros((B,), bool))
+        return cond, null

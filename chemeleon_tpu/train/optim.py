@@ -1,0 +1,141 @@
+"""Optimizer + LR-scheduler factory.
+
+Mirrors the reference's configure_optimizers (reference:
+chemeleon/modules/base_module.py:94-135): {adam, sgd, adamw} x {constant,
+cosine, reduce_on_plateau, linear_decay}, plus gradient clipping
+(run.py:85, gradient_clip_val) and accumulation (config.py:68).
+
+Schedulers that react to validation metrics (reduce_on_plateau) are host-side
+objects that produce an LR *scale*; the optimizer is built with
+``optax.inject_hyperparams`` so the trainer can update the learning rate
+between jitted steps without recompiling.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import optax
+
+from chemeleon_tpu.config import ChemeleonConfig
+
+
+def build_optimizer(cfg: ChemeleonConfig) -> optax.GradientTransformation:
+    if cfg.optimizer == "adam":
+        base = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
+        if cfg.weight_decay:
+            base = optax.chain(optax.add_decayed_weights(cfg.weight_decay), base)
+    elif cfg.optimizer == "sgd":
+        base = optax.inject_hyperparams(optax.sgd)(learning_rate=cfg.lr)
+        if cfg.weight_decay:
+            base = optax.chain(optax.add_decayed_weights(cfg.weight_decay), base)
+    elif cfg.optimizer == "adamw":
+        base = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.lr, weight_decay=cfg.weight_decay)
+    else:
+        raise ValueError(f"Invalid optimizer: {cfg.optimizer}")
+
+    tx = base
+    if cfg.gradient_clip_val and cfg.gradient_clip_val > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.gradient_clip_val), tx)
+    if cfg.accumulate_grad_batches and cfg.accumulate_grad_batches > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulate_grad_batches)
+    return tx
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected learning rate inside an optax state tree."""
+
+    def visit(state):
+        if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
+            state.hyperparams["learning_rate"] = type(
+                state.hyperparams["learning_rate"])(lr) if isinstance(
+                    state.hyperparams["learning_rate"], float) else \
+                state.hyperparams["learning_rate"] * 0 + lr
+            return True
+        return False
+
+    # optax states are tuples/namedtuples; walk them.
+    def walk(s):
+        if visit(s):
+            return
+        if isinstance(s, tuple):
+            for sub in s:
+                walk(sub)
+
+    walk(opt_state)
+    return opt_state
+
+
+class LRScheduler:
+    """Host-side LR schedule controller (per-epoch / per-validation)."""
+
+    def __init__(self, cfg: ChemeleonConfig):
+        self.mode = cfg.scheduler
+        self.base_lr = cfg.lr
+        self.patience = cfg.patience
+        self.min_lr = 1e-6           # base_module.py:123
+        self.factor = 0.8            # base_module.py:123
+        self.t_max = 10              # CosineAnnealingLR(T_max=10), :120
+        self.max_steps: Optional[int] = None
+        self._lr = cfg.lr
+        self._best = math.inf
+        self._bad = 0
+        self._epoch = 0
+        if self.mode not in ("constant", "cosine", "reduce_on_plateau",
+                             "linear_decay", "constant_with_warmup"):
+            raise ValueError(f"Invalid scheduler: {self.mode}")
+
+    @property
+    def lr(self) -> float:
+        return self._lr
+
+    def on_epoch(self, epoch: int) -> float:
+        """Epoch-driven schedules."""
+        self._epoch = epoch
+        if self.mode == "cosine":
+            self._lr = self.min_lr + (self.base_lr - self.min_lr) * (
+                1 + math.cos(math.pi * (epoch % (2 * self.t_max)) / self.t_max)) / 2
+        elif self.mode == "linear_decay":
+            # the reference's LinearLR call is broken upstream
+            # (base_module.py:126 passes max_steps as start_factor);
+            # we implement a sane linear decay to 0 over max_steps epochs.
+            total = self.max_steps or 1000
+            self._lr = self.base_lr * max(0.0, 1.0 - epoch / total)
+        elif self.mode == "constant_with_warmup":
+            warm = 10
+            self._lr = self.base_lr * min(1.0, (epoch + 1) / warm)
+        return self._lr
+
+    def on_validation(self, val_loss: float) -> float:
+        """Metric-driven schedules (reduce_on_plateau, min mode)."""
+        if self.mode != "reduce_on_plateau":
+            return self._lr
+        if val_loss < self._best:
+            self._best = val_loss
+            self._bad = 0
+        else:
+            self._bad += 1
+            if self._bad > self.patience:
+                self._lr = max(self._lr * self.factor, self.min_lr)
+                self._bad = 0
+        return self._lr
+
+
+class EarlyStopping:
+    """val/loss early stopping (reference run.py:55-60, patience=300)."""
+
+    def __init__(self, patience: int, mode: str = "min"):
+        self.patience = patience
+        self.best = math.inf
+        self.bad = 0
+
+    def update(self, val_loss: float) -> bool:
+        """Returns True when training should stop."""
+        if val_loss < self.best:
+            self.best = val_loss
+            self.bad = 0
+            return False
+        self.bad += 1
+        return self.bad > self.patience

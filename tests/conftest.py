@@ -1,0 +1,37 @@
+"""Test config: run on a virtual 8-device CPU mesh (the JAX-native analog of
+multi-node simulation — SURVEY §4).
+
+Note: this environment's sitecustomize imports jax and pins the axon/TPU
+platform before conftest runs, so the JAX_PLATFORMS env var alone is not
+enough — we must also flip jax.config. XLA_FLAGS still works because the CPU
+backend initializes lazily.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# f32 matmuls must be exact f32 in numerics tests.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu():
+    assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return devices[:8]

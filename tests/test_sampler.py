@@ -1,0 +1,95 @@
+"""End-to-end sampler tests: determinism, stream/batch equivalence,
+trajectory bookkeeping, unguided mode."""
+
+import jax
+import numpy as np
+import pytest
+
+from chemeleon_tpu.config import get_config
+from chemeleon_tpu.models.chemeleon import Chemeleon
+
+TINY = dict(hidden_dim=32, time_dim=16, text_dim=24, num_layers=2,
+            num_freqs=4, timesteps=20, text_embed_dim=32,
+            pad_buckets=(8,))
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = get_config(None, **TINY)
+    m = Chemeleon(cfg, text_backend="hash")
+    m.init_params(jax.random.PRNGKey(0))
+    return m
+
+
+def test_sample_shapes_and_types(model):
+    crystals = model.sample("LiMnO4", n_atoms=6, n_samples=3,
+                            key=jax.random.PRNGKey(1))
+    assert len(crystals) == 3
+    for c in crystals:
+        assert len(c) == 6
+        assert ((c.atom_types >= 0) & (c.atom_types <= 103)).all()
+        assert ((c.frac_coords >= 0) & (c.frac_coords < 1)).all()
+        # lattice respects the canonical zero pattern (chemeleon.py:70-73)
+        assert c.lattice[0, 1] == 0 and c.lattice[2, 0] == 0 \
+            and c.lattice[2, 1] == 0
+
+
+def test_determinism(model):
+    a = model.sample("TiO2", 4, 2, key=jax.random.PRNGKey(7))
+    b = model.sample("TiO2", 4, 2, key=jax.random.PRNGKey(7))
+    for ca, cb in zip(a, b):
+        np.testing.assert_array_equal(ca.atom_types, cb.atom_types)
+        np.testing.assert_allclose(ca.frac_coords, cb.frac_coords)
+        np.testing.assert_allclose(ca.lattice, cb.lattice)
+
+
+def test_stream_matches_batch(model):
+    """Chunked streaming must produce the exact same final state as the
+    single-scan path (both fold the same key by timestep)."""
+    key = jax.random.PRNGKey(3)
+    batch_result = model.sample("TiO2", 4, 2, key=key)
+    chunks = list(model.sample("TiO2", 4, 2, stream=True, stream_chunk=5,
+                               key=key))
+    assert len(chunks) == 20 // 5
+    final = chunks[-1]
+    for ca, cb in zip(batch_result, final):
+        np.testing.assert_array_equal(ca.atom_types, cb.atom_types)
+        np.testing.assert_allclose(ca.frac_coords, cb.frac_coords, atol=1e-6)
+
+
+def test_trajectory(model):
+    traj = model.sample("TiO2", 4, 2, return_trajectory=True,
+                        key=jax.random.PRNGKey(4))
+    assert len(traj) == 20  # t = T-1 .. 0
+    last_step = traj[-1]
+    assert len(last_step) == 2
+
+
+def test_trajectory_container_api(model):
+    cont = model.sample_batch([4, 6], ["TiO2", "SiO2"],
+                              key=jax.random.PRNGKey(5),
+                              return_trajectory=True)
+    assert 0 in cont and 19 in cont
+    crystals = cont.get_atoms(0)
+    assert [len(c) for c in crystals] == [4, 6]
+
+
+def test_unguided(model):
+    cfg = get_config("unguided", **TINY)
+    m = Chemeleon(cfg)
+    m.init_params(jax.random.PRNGKey(0))
+    crystals = m.sample(None, 4, 2, key=jax.random.PRNGKey(1))
+    assert len(crystals) == 2
+
+
+def test_mixed_natoms_padding(model):
+    """Graphs of different sizes in one batch: each keeps its own n."""
+    crystals = model.sample_batch([3, 7, 5], ["a", "b", "c"],
+                                  key=jax.random.PRNGKey(6))
+    assert [len(c) for c in crystals] == [3, 7, 5]
+
+
+def test_cond_scale_changes_output(model):
+    a = model.sample("TiO2", 4, 1, cond_scale=2.0, key=jax.random.PRNGKey(9))
+    b = model.sample("TiO2", 4, 1, cond_scale=0.0, key=jax.random.PRNGKey(9))
+    assert not np.allclose(a[0].frac_coords, b[0].frac_coords)
