@@ -1,0 +1,149 @@
+"""Structure matching and deduplication.
+
+Standalone replacement for pymatgen's ``StructureMatcher`` as used by the
+reference (evaluate.py:198-204 structure matching with default tolerances;
+sample_target_composition.py:35,:66 dedupe with angle_tol=10). Algorithm:
+
+  1. reduced compositions must match;
+  2. Niggli-reduce both cells, optionally volume-normalize;
+  3. search signed basis permutations of the reduced cell whose parameters
+     match within (ltol, angle_tol);
+  4. for each candidate basis + anchor translation, solve a per-species
+     min-cost assignment (Hungarian) on periodic displacements and accept if
+     the normalized RMS displacement is within stol.
+
+This is a faithful re-derivation of the published matching criteria (not a
+code port); without spglib there is no primitive-cell reduction, so two cells
+that are exact supercells of each other with different Z are treated as
+distinct (rare among fixed-natoms generations).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import List, Optional, Sequence
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from chemeleon_tpu.chem.lattice import lattice_parameters, niggli_reduce
+from chemeleon_tpu.chem.structure import Crystal
+
+
+def _niggli_frame(crystal: Crystal):
+    """Return (reduced lattice, frac coords in the reduced basis)."""
+    try:
+        red = niggli_reduce(crystal.lattice)
+    except ValueError:
+        red = crystal.lattice
+    # f_new = f_old @ L_old @ R^{-1}
+    f = crystal.frac_coords @ crystal.lattice @ np.linalg.inv(red)
+    return red, f % 1.0
+
+
+_SIGNED_PERMS = [
+    (perm, signs)
+    for perm in itertools.permutations(range(3))
+    for signs in itertools.product((1.0, -1.0), repeat=3)
+]
+
+
+class StructureMatcher:
+    """fit() / group_structures() with pymatgen-compatible defaults
+    (ltol=0.2, stol=0.3, angle_tol=5)."""
+
+    def __init__(self, ltol: float = 0.2, stol: float = 0.3,
+                 angle_tol: float = 5.0, primitive_cell: bool = True,
+                 scale: bool = True):
+        self.ltol = ltol
+        self.stol = stol
+        self.angle_tol = angle_tol
+        self.scale = scale
+
+    # -- lattice comparison --------------------------------------------------
+    def _params_match(self, p1, p2) -> bool:
+        for i in range(3):
+            if abs(p1[i] - p2[i]) / max(p1[i], 1e-9) > self.ltol:
+                return False
+        for i in range(3, 6):
+            if abs(p1[i] - p2[i]) > self.angle_tol:
+                return False
+        return True
+
+    def fit(self, s1: Crystal, s2: Crystal) -> bool:
+        if len(s1) != len(s2):
+            return False
+        if s1.reduced_composition() != s2.reduced_composition():
+            return False
+        if sorted(s1.atom_types.tolist()) != sorted(s2.atom_types.tolist()):
+            return False
+
+        lat1, f1 = _niggli_frame(s1)
+        lat2, f2 = _niggli_frame(s2)
+        if self.scale:
+            ratio = (abs(np.linalg.det(lat1)) / max(abs(np.linalg.det(lat2)),
+                                                    1e-12)) ** (1.0 / 3.0)
+            lat2 = lat2 * ratio
+        p1 = lattice_parameters(lat1)
+
+        n = len(s1)
+        norm = (abs(np.linalg.det(lat1)) / n) ** (1.0 / 3.0)
+        types1 = s1.atom_types
+        types2 = s2.atom_types
+        species = np.unique(types1)
+        # anchor species: the rarest one (fewest anchor translations to try)
+        counts = [(int((types1 == sp).sum()), int(sp)) for sp in species]
+        anchor_sp = min(counts)[1]
+        idx1_anchor = np.where(types1 == anchor_sp)[0][0]
+        idx2_anchors = np.where(types2 == anchor_sp)[0]
+
+        for perm, signs in _SIGNED_PERMS:
+            basis = lat2[list(perm)] * np.asarray(signs)[:, None]
+            if not self._params_match(p1, lattice_parameters(basis)):
+                continue
+            f2p = f2[:, list(perm)] * np.asarray(signs)[None, :] % 1.0
+            # measure displacements in the reference frame (lat1): the
+            # candidate basis has compatible parameters, and averaging
+            # frames would cancel under row negations.
+            for j in idx2_anchors:
+                shift = (f2p[j] - f1[idx1_anchor]) % 1.0
+                g2 = (f2p - shift) % 1.0
+                if self._sites_match(f1, g2, types1, types2, lat1, norm):
+                    return True
+        return False
+
+    def _sites_match(self, f1, f2, t1, t2, lat, norm) -> bool:
+        total_sq = 0.0
+        n = len(f1)
+        for sp in np.unique(t1):
+            i1 = np.where(t1 == sp)[0]
+            i2 = np.where(t2 == sp)[0]
+            if len(i1) != len(i2):
+                return False
+            d = f1[i1][:, None, :] - f2[i2][None, :, :]
+            d -= np.round(d)                       # min-image in frac space
+            cart = d @ lat
+            cost = np.linalg.norm(cart, axis=-1)   # [n_sp, n_sp]
+            try:
+                ri, ci = linear_sum_assignment(cost)
+            except ValueError:
+                return False
+            dists = cost[ri, ci]
+            if (dists / norm > self.stol).any():
+                return False
+            total_sq += float((dists ** 2).sum())
+        rms = (total_sq / n) ** 0.5
+        return rms / norm <= self.stol
+
+    # -- grouping -------------------------------------------------------------
+    def group_structures(self, structures: Sequence[Crystal]) -> List[List[Crystal]]:
+        """Greedy grouping (same contract as pymatgen's group_structures)."""
+        groups: List[List[Crystal]] = []
+        for s in structures:
+            for g in groups:
+                if self.fit(g[0], s):
+                    g.append(s)
+                    break
+            else:
+                groups.append([s])
+        return groups

@@ -1,0 +1,160 @@
+"""Chemistry core tests: lattice math, Niggli, CIF roundtrip, composition,
+matcher, validity — including a roundtrip over real mp-40 test CIFs when the
+reference dataset is present."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from chemeleon_tpu.chem.cif import parse_cif, write_cif
+from chemeleon_tpu.chem.composition import (
+    parse_composition,
+    reduced_formula_alphabetical,
+)
+from chemeleon_tpu.chem.lattice import (
+    canonicalize_lattice,
+    lattice_from_parameters,
+    lattice_parameters,
+    lattice_system,
+    niggli_reduce,
+    volume,
+)
+from chemeleon_tpu.chem.matcher import StructureMatcher
+from chemeleon_tpu.chem.structure import Crystal
+from chemeleon_tpu.chem.validity import smact_validity, structure_validity
+
+MP40_TEST = "/root/reference/data/mp-40/test.csv"
+
+
+def test_lattice_from_parameters_zero_pattern():
+    m = lattice_from_parameters(4.0, 5.0, 6.0, 80.0, 95.0, 103.0)
+    assert m[0, 1] == 0 and m[2, 0] == 0 and m[2, 1] == 0
+    a, b, c, al, be, ga = lattice_parameters(m)
+    np.testing.assert_allclose([a, b, c, al, be, ga],
+                               [4, 5, 6, 80, 95, 103], atol=1e-8)
+
+
+def test_canonicalize_preserves_params():
+    rng = np.random.default_rng(0)
+    m = rng.standard_normal((3, 3)) * 3 + np.eye(3) * 5
+    m2 = canonicalize_lattice(m)
+    np.testing.assert_allclose(lattice_parameters(m), lattice_parameters(m2),
+                               atol=1e-6)
+    np.testing.assert_allclose(volume(m), volume(m2), rtol=1e-8)
+
+
+def test_niggli_reduce_known_case():
+    # a skewed description of a simple cubic lattice reduces back to cubic
+    cubic = np.eye(3) * 4.0
+    skew = cubic.copy()
+    skew[2] = skew[2] + 2 * skew[0] + skew[1]  # unimodular shear
+    red = niggli_reduce(skew)
+    np.testing.assert_allclose(volume(red), volume(cubic), rtol=1e-9)
+    a, b, c, al, be, ga = lattice_parameters(red)
+    np.testing.assert_allclose(sorted([a, b, c]), [4, 4, 4], atol=1e-6)
+    np.testing.assert_allclose(sorted([al, be, ga]), [90, 90, 90], atol=1e-4)
+
+
+def test_niggli_reduce_is_stable_on_reduced_cell():
+    m = lattice_from_parameters(3.0, 4.0, 5.0, 90, 90, 90)
+    red = niggli_reduce(m)
+    red2 = niggli_reduce(red)
+    np.testing.assert_allclose(np.abs(np.linalg.det(red2)),
+                               np.abs(np.linalg.det(m)), rtol=1e-9)
+
+
+def test_lattice_system_classification():
+    cases = [
+        ((4, 4, 4, 90, 90, 90), "cubic"),
+        ((4, 4, 6, 90, 90, 90), "tetragonal"),
+        ((4, 5, 6, 90, 90, 90), "orthorhombic"),
+        ((4, 4, 6, 90, 90, 120), "hexagonal"),
+        ((4, 4, 4, 70, 70, 70), "rhombohedral"),
+        ((4, 5, 6, 90, 100, 90), "monoclinic"),
+        ((4, 5, 6, 85, 95, 100), "triclinic"),
+    ]
+    for params, want in cases:
+        m = lattice_from_parameters(*params)
+        assert lattice_system(m) == want, (params, want, lattice_system(m))
+
+
+def test_cif_roundtrip():
+    c = Crystal(lattice_from_parameters(4, 5, 6, 90, 95, 90),
+                [[0.1, 0.2, 0.3], [0.6, 0.7, 0.8]], [22, 8])
+    text = write_cif(c)
+    c2 = parse_cif(text)
+    assert sorted(c2.atom_types.tolist()) == [8, 22]
+    np.testing.assert_allclose(sorted(np.asarray(c2.lattice_params)),
+                               sorted(np.asarray(c.lattice_params)), atol=1e-6)
+
+
+@pytest.mark.skipif(not os.path.exists(MP40_TEST),
+                    reason="mp-40 reference dataset not present")
+def test_parse_real_mp40_cifs():
+    csv.field_size_limit(10 ** 9)
+    with open(MP40_TEST) as f:
+        rows = [r for _, r in zip(range(20), csv.DictReader(f))]
+    for row in rows:
+        c = parse_cif(row["cif"])
+        assert 0 < len(c) <= 40
+        # composition column matches parsed structure
+        want = reduced_formula_alphabetical(row["composition"])
+        assert c.reduced_formula() == want, (want, c.reduced_formula())
+        # volume column matches cell volume
+        np.testing.assert_allclose(c.volume, float(row["volume"]), rtol=1e-3)
+
+
+def test_parse_composition():
+    assert parse_composition("LiMnO4") == {"Li": 1, "Mn": 1, "O": 4}
+    assert parse_composition("Ca(OH)2") == {"Ca": 1, "O": 2, "H": 2}
+    assert reduced_formula_alphabetical("Ba2Ti2O6") == "BaO3Ti"
+
+
+def test_structure_matcher_identity_and_shift():
+    lat = lattice_from_parameters(4, 5, 6, 90, 90, 90)
+    coords = np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5], [0.25, 0.5, 0.75]])
+    types = [22, 8, 8]
+    s1 = Crystal(lat, coords, types)
+    # translated + permuted copy
+    s2 = Crystal(lat, np.roll((coords + 0.31) % 1.0, 1, axis=0),
+                 np.roll(types, 1))
+    m = StructureMatcher()
+    assert m.fit(s1, s2)
+    # distorted beyond stol
+    s3 = Crystal(lat, (coords + np.array([[0, 0, 0], [0.3, 0.2, 0.1],
+                                          [0, 0.3, 0]])) % 1.0, types)
+    assert not m.fit(s1, s3)
+    # different composition
+    s4 = Crystal(lat, coords, [22, 8, 16])
+    assert not m.fit(s1, s4)
+
+
+def test_structure_matcher_grouping():
+    lat = lattice_from_parameters(4, 4, 4, 90, 90, 90)
+    a = Crystal(lat, [[0, 0, 0], [0.5, 0.5, 0.5]], [11, 17])
+    b = Crystal(lat, [[0.2, 0.2, 0.2], [0.7, 0.7, 0.7]], [11, 17])  # = a + shift
+    c = Crystal(lat, [[0, 0, 0], [0.5, 0.0, 0.0]], [11, 17])
+    groups = StructureMatcher().group_structures([a, b, c])
+    sizes = sorted(len(g) for g in groups)
+    assert sizes == [1, 2]
+
+
+def test_smact_validity():
+    assert smact_validity({"Na": 1, "Cl": 1})
+    assert smact_validity({"Ti": 1, "O": 2})
+    assert smact_validity({"Li": 1, "Mn": 1, "O": 4})  # Mn+7 exists
+    assert not smact_validity({"Na": 1, "Cl": 3})
+    assert smact_validity({"Fe": 1, "Ni": 1})  # alloy path
+
+
+def test_structure_validity():
+    lat = lattice_from_parameters(4, 4, 4, 90, 90, 90)
+    good = Crystal(lat, [[0, 0, 0], [0.5, 0.5, 0.5]], [11, 17])
+    assert structure_validity(good)
+    tight = Crystal(lat, [[0, 0, 0], [0.05, 0, 0]], [11, 17])
+    assert not structure_validity(tight)
+    huge = Crystal(lattice_from_parameters(70, 4, 4, 90, 90, 90),
+                   [[0, 0, 0]], [11])
+    assert not structure_validity(huge)
