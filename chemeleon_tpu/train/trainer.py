@@ -1,0 +1,154 @@
+"""Training loop for the diffusion model.
+
+TPU-native replacement for the reference's Lightning Trainer stack
+(reference run.py:20-92): jitted mesh-sharded train step, epoch loop with
+validation, best/last orbax checkpoints monitored on val/loss
+(run.py:47-53), LR monitoring, reduce-on-plateau scheduling, early stopping
+(run.py:55-60), and resume (run.py:92).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from chemeleon_tpu.config import ChemeleonConfig
+from chemeleon_tpu.data.datamodule import DataModule
+from chemeleon_tpu.models.chemeleon import Chemeleon
+from chemeleon_tpu.parallel.mesh import make_mesh, shard_params
+from chemeleon_tpu.train.optim import (
+    EarlyStopping,
+    LRScheduler,
+    build_optimizer,
+    set_learning_rate,
+)
+from chemeleon_tpu.train.step import make_eval_step, make_train_step
+from chemeleon_tpu.utils.logging import MetricLogger
+
+
+class Trainer:
+    def __init__(self, cfg: ChemeleonConfig, model: Optional[Chemeleon] = None,
+                 datamodule: Optional[DataModule] = None,
+                 text_backend: str = "auto", max_rows: Optional[int] = None):
+        self.cfg = cfg
+        self.model = model or Chemeleon(cfg, text_backend=text_backend)
+        self.dm = datamodule or DataModule(cfg, max_rows=max_rows)
+        self.tx = build_optimizer(cfg)
+        self.lr_sched = LRScheduler(cfg)
+        self.early = EarlyStopping(cfg.early_stopping)
+        self.mesh = None
+        if cfg.mesh_shape != (1, 1):
+            self.mesh = make_mesh(cfg.mesh_shape)
+        self.logger = MetricLogger(cfg.log_dir, cfg.exp_name,
+                                   cfg.project_name, offline=cfg.offline or True,
+                                   config=cfg.to_dict())
+        ckpt_dir = Path(cfg.log_dir) / cfg.exp_name / "checkpoints"
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        self.ckpt_dir = ckpt_dir
+        self._train_step = make_train_step(self.model, self.tx, mesh=self.mesh)
+        self._eval_step = make_eval_step(self.model)
+
+    # -- checkpointing (orbax; reference ModelCheckpoint run.py:47-53) -------
+    def save_checkpoint(self, tag: str, params, opt_state, epoch: int,
+                        global_step: int, val_loss: float) -> None:
+        path = (self.ckpt_dir / tag).absolute()
+        if path.exists():
+            shutil.rmtree(path)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path / "params", params)
+        ckptr.wait_until_finished()
+        meta = {"epoch": epoch, "global_step": global_step,
+                "val_loss": float(val_loss), "config": self.cfg.to_dict()}
+        with open(path / "meta.json", "w") as f:
+            json.dump(meta, f, default=str)
+
+    def load_checkpoint(self, path: str, params_like):
+        ckptr = ocp.StandardCheckpointer()
+        params = ckptr.restore(Path(path).absolute() / "params", params_like)
+        with open(Path(path) / "meta.json") as f:
+            meta = json.load(f)
+        return params, meta
+
+    # -- loops -----------------------------------------------------------------
+    def _raw_text(self, texts):
+        if not self.cfg.text_guide:
+            return None
+        return jnp.asarray(self.model.text_encoder.backend(texts))
+
+    def validate(self, params, epoch: int) -> Dict[str, float]:
+        agg: Dict[str, float] = {}
+        count = 0
+        for batch, texts in self.dm.val_dataloader():
+            metrics = self._eval_step(params, batch, self._raw_text(texts),
+                                      jax.random.PRNGKey(epoch))
+            B = batch.batch_size
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v) * B
+            count += B
+        return {f"val/{k}": v / max(count, 1) for k, v in agg.items()}
+
+    def fit(self, max_epochs: Optional[int] = None,
+            resume_from: Optional[str] = None) -> Dict[str, Any]:
+        cfg = self.cfg
+        max_epochs = max_epochs if max_epochs is not None else cfg.max_epochs
+        self.dm.setup("fit")
+
+        key = jax.random.PRNGKey(cfg.seed)
+        params = self.model.init_params(key)
+        start_epoch = 0
+        if resume_from or cfg.resume_from:
+            params, meta = self.load_checkpoint(resume_from or cfg.resume_from,
+                                                params)
+            start_epoch = meta["epoch"] + 1
+        if self.mesh is not None:
+            params = shard_params(self.mesh, params)
+        self.model.params = params
+        opt_state = self.tx.init(params)
+
+        best_val = float("inf")
+        global_step = 0
+        history = []
+        for epoch in range(start_epoch, max_epochs):
+            lr = self.lr_sched.on_epoch(epoch)
+            set_learning_rate(opt_state, lr)
+            t0 = time.time()
+            for batch, texts in self.dm.train_dataloader(epoch):
+                step_key = jax.random.fold_in(key, global_step)
+                params, opt_state, metrics = self._train_step(
+                    params, opt_state, batch, self._raw_text(texts), step_key)
+                if global_step % 50 == 0:
+                    self.logger.log(
+                        {f"train/{k}": v for k, v in metrics.items()}
+                        | {"lr": self.lr_sched.lr}, global_step)
+                global_step += 1
+
+            val_metrics = self.validate(params, epoch)
+            val_loss = val_metrics.get("val/loss", float("inf"))
+            lr = self.lr_sched.on_validation(val_loss)
+            set_learning_rate(opt_state, lr)
+            val_metrics["epoch"] = epoch
+            val_metrics["epoch_time"] = time.time() - t0
+            self.logger.log(val_metrics, global_step)
+            history.append(val_metrics)
+
+            self.save_checkpoint("last", params, opt_state, epoch,
+                                 global_step, val_loss)
+            if val_loss < best_val:
+                best_val = val_loss
+                self.save_checkpoint("best", params, opt_state, epoch,
+                                     global_step, val_loss)
+            if self.early.update(val_loss):
+                break
+
+        self.model.params = params
+        return {"best_val_loss": best_val, "epochs": epoch + 1,
+                "global_step": global_step, "history": history}
