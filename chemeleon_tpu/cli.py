@@ -1,0 +1,146 @@
+"""Chemeleon CLI (reference: chemeleon/cli.py:7-203) — same command tree and
+flags: ``chemeleon navigate system``, ``chemeleon sample composition``,
+``chemeleon sample prompt``, plus TPU-build extras ``chemeleon evaluate`` and
+``chemeleon bench``."""
+
+import click
+
+from chemeleon_tpu.scripts.navigate_chemical_system import navigate_chemical_system
+from chemeleon_tpu.scripts.sample_prompt import sample_prompt
+from chemeleon_tpu.scripts.sample_target_composition import sample_target_composition
+
+
+@click.group(help="Chemeleon CLI - A tool for navigating chemical systems "
+                  "and sampling target compositions.")
+def cli():
+    pass
+
+
+@cli.group(help="Commands related to chemical system navigation.")
+def navigate():
+    pass
+
+
+@navigate.command(
+    name="system",
+    help="""Navigate a chemical system, e.g., Ti-Zn-O or Li-P-S-Cl.
+
+Examples:
+
+  chemeleon navigate system --elements Zn,Ti,O
+
+  chemeleon navigate system --elements Zn,Ti,O --n-samples 100
+""")
+@click.option("--elements", "-e", default="Zn,Ti,O", show_default=True,
+              help="Comma-separated list of elements to navigate the "
+                   "chemical system. e.g. Zn,Ti,O")
+@click.option("--n-samples", default=100, show_default=True,
+              help="Number of samples to generate.")
+@click.option("--max-stoich", default=8, show_default=True,
+              help="Maximum stoichiometric factor.")
+@click.option("--max-natoms", default=40, show_default=True,
+              help="Maximum number of atoms allowed in a structure.")
+@click.option("--max-factor", default=13, show_default=True,
+              help="Maximum multiplication factor for the composition.")
+@click.option("--save-dir", "-s", default="results/navigate",
+              show_default=True,
+              help="Directory where the generated results will be saved.")
+def cli_navigate_chemical_system(elements, n_samples, max_stoich, max_natoms,
+                                 max_factor, save_dir):
+    navigate_chemical_system(
+        elements=elements.split(","), n_samples=n_samples,
+        max_stoich=max_stoich, max_natoms=max_natoms, max_factor=max_factor,
+        save_dir=save_dir)
+
+
+@cli.group(help="Commands related to sampling target compositions or prompts")
+def sample():
+    pass
+
+
+@sample.command(
+    name="composition",
+    help="""Sample structures with a target composition, e.g., TiO2.
+
+Examples:
+
+  chemeleon sample composition --target-composition TiO2
+
+  chemeleon sample composition -t Li2O --n-samples 50
+""")
+@click.option("--target-composition", "-t", default="Li2O", show_default=True,
+              help="Target composition to sample.")
+@click.option("--n-samples", default=100, show_default=True,
+              help="Number of samples to generate.")
+@click.option("--max-natoms", default=40, show_default=True,
+              help="Maximum number of atoms allowed in a structure.")
+@click.option("--max-factor", default=13, show_default=True,
+              help="Maximum multiplication Z factor for the composition.")
+@click.option("--save-dir", "-s", default="results/TiO2", show_default=True,
+              help="Directory where the generated results will be saved.")
+def cli_sample_target_composition(target_composition, n_samples, max_natoms,
+                                  max_factor, save_dir):
+    sample_target_composition(
+        target_composition=target_composition, n_samples=n_samples,
+        max_natoms=max_natoms, max_factor=max_factor, save_dir=save_dir)
+
+
+@sample.command(
+    name="prompt",
+    help="""Sample structures with a text prompt, e.g., "A Crystal Structure
+of LiMnO4 with orthorhombic symmetry".
+
+Examples:
+
+  chemeleon sample prompt --text-input "A Crystal Structure of LiMnO4 with orthorhombic symmetry"
+
+  chemeleon sample prompt -t "A Crystal Structure of LiMnO4 with orthorhombic symmetry" --n-samples 50 --n-atoms 6
+""")
+@click.option("--text-input", "-t",
+              default="A Crystal Structure of LiMnO4 with orthorhombic symmetry",
+              show_default=True, help="Text input to sample.")
+@click.option("--n-atoms", default=6, show_default=True,
+              help="Number of atoms in the unit cell.")
+@click.option("--n-samples", default=3, show_default=True,
+              help="Number of samples to generate.")
+@click.option("--save-dir", "-s", default="results/prompt")
+def cli_sample_prompt(text_input, n_atoms, n_samples, save_dir):
+    sample_prompt(text_input=text_input, n_atoms=n_atoms,
+                  n_samples=n_samples, save_dir=save_dir)
+
+
+@cli.command(name="evaluate",
+             help="Evaluate a checkpoint on the mp-40 test set.")
+@click.option("--model-path", "-m", required=True,
+              help="Path to a converted checkpoint directory or a reference "
+                   ".ckpt file.")
+@click.option("--test-data", default="data/mp-40/test.csv", show_default=True)
+@click.option("--n-samples", default=20, show_default=True)
+@click.option("--cond-scale", default=2.0, show_default=True)
+@click.option("--save-path", default="results", show_default=True)
+@click.option("--max-rows", default=None, type=int,
+              help="Evaluate only the first N rows.")
+def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
+                 max_rows):
+    from chemeleon_tpu.eval.evaluate import test_evaluate
+    from chemeleon_tpu.utils.checkpoints import load_pretrained
+
+    if model_path.endswith(".ckpt"):
+        model = load_pretrained("general_text", path_ckpt=model_path)
+    else:
+        raise click.UsageError(
+            "pass a reference .ckpt (conversion happens automatically)")
+    test_evaluate(model, test_data=test_data, n_samples=n_samples,
+                  cond_scale=cond_scale, save_path=save_path,
+                  max_rows=max_rows)
+
+
+@cli.command(name="bench", help="Run the sampling throughput benchmark.")
+def cli_bench():
+    import subprocess
+    import sys
+    subprocess.run([sys.executable, "bench.py"], check=True)
+
+
+if __name__ == "__main__":
+    cli()

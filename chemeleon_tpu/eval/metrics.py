@@ -1,0 +1,100 @@
+"""Evaluation metrics (reference: chemeleon/scripts/evaluate.py:177-272).
+
+Seven metrics over generated structures vs a ground-truth reference:
+validity, uniqueness, structure matching, metastability (pluggable
+calculator), composition / crystal-system / lattice-system matching.
+
+Deviation notes (no spglib/pymatgen in this environment): crystal- and
+lattice-system classification use geometric cell-parameter analysis
+(chem/lattice.py) rather than full spacegroup detection; the reference's
+lattice_system metric already reduces to lattice-only analysis (it rebuilds a
+1-atom H structure from the cell, evaluate.py:260-272). Metastability
+requires an energy calculator: MACE is used when importable, otherwise the
+metric is NaN (or a user-supplied calculator).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from chemeleon_tpu.chem.lattice import crystal_system_from_lattice, lattice_system
+from chemeleon_tpu.chem.matcher import StructureMatcher
+from chemeleon_tpu.chem.structure import Crystal
+from chemeleon_tpu.chem.validity import structure_validity
+
+
+def test_valid(gen_list: List[Crystal]) -> List[Crystal]:
+    """Filter to valid structures (evaluate.py:177-189)."""
+    return [st for st in gen_list if structure_validity(st)]
+
+
+def test_unique(st_list: List[Crystal]) -> int:
+    """Number of distinct structures (evaluate.py:192-195)."""
+    return len(StructureMatcher().group_structures(st_list))
+
+
+def test_structure_matching(st_list: List[Crystal], ref_st: Crystal) -> int:
+    """How many generated structures match the ground truth
+    (evaluate.py:198-204)."""
+    sm = StructureMatcher()
+    return sum(1 for st in st_list if sm.fit(ref_st, st))
+
+
+def test_composition_matching(st_list: List[Crystal], ref_st: Crystal) -> int:
+    """Exact (unreduced) composition match (evaluate.py:223-228)."""
+    ref = ref_st.composition
+    return sum(1 for st in st_list if st.composition == ref)
+
+
+def test_crystal_system_matching(st_list: List[Crystal],
+                                 ref_st: Crystal) -> int:
+    ref_cs = crystal_system_from_lattice(ref_st.lattice)
+    return sum(1 for st in st_list
+               if crystal_system_from_lattice(st.lattice) == ref_cs)
+
+
+def test_lattice_system_matching(st_list: List[Crystal],
+                                 ref_st: Crystal) -> int:
+    ref_ls = lattice_system(ref_st.lattice)
+    return sum(1 for st in st_list
+               if lattice_system(st.lattice) == ref_ls)
+
+
+def test_meta_stable(st_list: List[Crystal], ref_st: Crystal,
+                     calc: Optional[Callable[[Crystal], float]],
+                     threshold: float = 0.1) -> float:
+    """Fraction of same-composition structures within ``threshold`` eV/atom of
+    the ground-truth energy (evaluate.py:207-220). ``calc(crystal) -> total
+    energy (eV)``; NaN when no calculator or no same-composition samples."""
+    if calc is None:
+        return float("nan")
+    ref_energy = calc(ref_st)
+    num_meta, num_same = 0, 0
+    for st in st_list:
+        if st.composition != ref_st.composition:
+            continue
+        num_same += 1
+        e_diff = (calc(st) - ref_energy) / len(st)
+        if e_diff < threshold:
+            num_meta += 1
+    return num_meta / num_same if num_same else float("nan")
+
+
+def default_calculator() -> Optional[Callable[[Crystal], float]]:
+    """MACE when available (reference evaluate.py:74), else None."""
+    try:
+        from mace.calculators import mace_mp  # noqa: F401
+        from ase import Atoms  # noqa: F401
+    except ImportError:
+        return None
+    mace_calc = mace_mp(default_dtype="float32", device="cpu")
+
+    def calc(st: Crystal) -> float:
+        atoms = st.to_ase()
+        atoms.calc = mace_calc
+        return float(atoms.get_potential_energy())
+
+    return calc

@@ -1,0 +1,166 @@
+"""Structure relaxation (reference: chemeleon/scripts/optimize.py:16-124).
+
+The reference relaxes generated structures with MACE + ASE FIRE (cell relax
+via FrechetCellFilter, then internal coordinates, with a divergence guard and
+a fail.log skip-list). Neither MACE nor ASE is available here, so this module
+implements:
+
+  * a calculator protocol: ``calc(crystal) -> (energy eV, forces [n,3] eV/A)``
+  * ``SoftSphereCalculator`` — an analytic pair-repulsion surrogate
+    (covalent-radii based) useful for testing and for pushing atoms off
+    collisions;
+  * ``fire_relax`` — the FIRE algorithm (Bitzek et al. 2006) on cartesian
+    coordinates, optionally with isotropic cell scaling;
+  * ``optimize_atoms_list`` — the reference's batch workflow incl. the
+    fmax>1000 divergence guard (optimize.py:116-120) and fail.log resume
+    (optimize.py:42-47). Uses MACE when importable.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from chemeleon_tpu.chem.elements import COVALENT_RADII, symbol_of
+from chemeleon_tpu.chem.structure import Crystal
+
+_OFFSETS = np.array([[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
+                     for k in (-1, 0, 1)], dtype=np.float64)
+
+
+class SoftSphereCalculator:
+    """E = sum_pairs eps * max(0, (r0_ij - r) / r0_ij)^2 over min images."""
+
+    def __init__(self, eps: float = 1.0, radius_scale: float = 1.0):
+        self.eps = eps
+        self.radius_scale = radius_scale
+
+    def __call__(self, st: Crystal) -> Tuple[float, np.ndarray]:
+        n = len(st)
+        cart = st.cart_coords
+        radii = np.array([COVALENT_RADII.get(symbol_of(int(z)), 1.2)
+                          for z in st.atom_types]) * self.radius_scale
+        img = _OFFSETS @ st.lattice
+        energy = 0.0
+        forces = np.zeros((n, 3))
+        for i in range(n):
+            # vector from i to every j in every image
+            d = cart[None, :, None, :] + img[None, None, :, :] - cart[i][None, None, None, :]
+            d = d[0]                                   # [n, 27, 3]
+            r = np.linalg.norm(d, axis=-1)             # [n, 27]
+            r0 = (radii[i] + radii)[:, None]
+            mask = (r > 1e-8) & (r < r0)
+            ov = np.where(mask, (r0 - r) / r0, 0.0)
+            energy += 0.5 * self.eps * float((ov ** 2).sum())
+            # F_i = -dE/dx_i = -2 eps ov d / (r0 r): push i AWAY from j
+            # (d points i -> j); pair energy counted once per unordered pair.
+            with np.errstate(divide="ignore", invalid="ignore"):
+                coef = np.where(
+                    mask, -2.0 * self.eps * ov / r0 / np.maximum(r, 1e-8), 0.0)
+            forces[i] += (coef[..., None] * d).sum(axis=(0, 1))
+        return energy, forces
+
+
+def fire_relax(st: Crystal, calc: Callable[[Crystal], Tuple[float, np.ndarray]],
+               fmax: float = 0.05, steps: int = 200, dt: float = 0.1,
+               dt_max: float = 1.0, relax_cell: bool = False,
+               diverge_fmax: float = 1000.0) -> Tuple[Crystal, dict]:
+    """FIRE minimization; returns (relaxed crystal, info)."""
+    x = st.cart_coords.copy()
+    lat = st.lattice.copy()
+    v = np.zeros_like(x)
+    a_start, f_inc, f_dec, f_alpha, n_min = 0.1, 1.1, 0.5, 0.99, 5
+    alpha = a_start
+    n_pos = 0
+    info = {"converged": False, "steps": 0, "diverged": False}
+    for step in range(steps):
+        cur = Crystal(lat, (x @ np.linalg.inv(lat)) % 1.0, st.atom_types)
+        energy, forces = calc(cur)
+        fnorm = float(np.sqrt((forces ** 2).sum(-1)).max()) if len(x) else 0.0
+        info.update(steps=step, energy=energy, fmax=fnorm)
+        if fnorm > diverge_fmax:  # divergence guard (optimize.py:116-120)
+            info["diverged"] = True
+            break
+        if fnorm < fmax:
+            info["converged"] = True
+            break
+        p = float((forces * v).sum())
+        if p > 0:
+            n_pos += 1
+            v = (1 - alpha) * v + alpha * np.linalg.norm(v) * (
+                forces / max(np.linalg.norm(forces), 1e-12))
+            if n_pos > n_min:
+                dt = min(dt * f_inc, dt_max)
+                alpha *= f_alpha
+        else:
+            n_pos = 0
+            v[:] = 0.0
+            dt *= f_dec
+            alpha = a_start
+        v = v + dt * forces
+        x = x + dt * v
+        if relax_cell and step % 10 == 9:
+            # isotropic cell scaling toward zero overlap pressure
+            e0, _ = calc(Crystal(lat, (x @ np.linalg.inv(lat)) % 1.0,
+                                 st.atom_types))
+            e1, _ = calc(Crystal(lat * 1.01,
+                                 (x @ np.linalg.inv(lat)) % 1.0 * 0 +
+                                 (x @ np.linalg.inv(lat)) % 1.0,
+                                 st.atom_types))
+            if e1 < e0:
+                frac = (x @ np.linalg.inv(lat)) % 1.0
+                lat = lat * 1.01
+                x = frac @ lat
+    final = Crystal(lat, (x @ np.linalg.inv(lat)) % 1.0, st.atom_types)
+    return final, info
+
+
+def optimize_atoms_list(crystals: List[Crystal], save_dir: str,
+                        calc: Optional[Callable] = None, fmax: float = 0.05,
+                        steps: int = 200) -> List[Optional[Crystal]]:
+    """Batch relaxation workflow with fail.log resume
+    (reference optimize.py:16-81)."""
+    save = Path(save_dir)
+    save.mkdir(parents=True, exist_ok=True)
+    fail_log = save / "fail.log"
+    failed = set()
+    if fail_log.exists():
+        failed = set(fail_log.read_text().split())
+    if calc is None:
+        calc = _mace_calculator() or SoftSphereCalculator()
+    out: List[Optional[Crystal]] = []
+    for i, st in enumerate(crystals):
+        tag = f"{i}"
+        if tag in failed:
+            out.append(None)
+            continue
+        try:
+            relaxed, info = fire_relax(st, calc, fmax=fmax, steps=steps)
+            if info["diverged"]:
+                raise RuntimeError(f"diverged (fmax={info['fmax']:.1f})")
+            (save / f"opt_{i}.cif").write_text(relaxed.to_cif())
+            out.append(relaxed)
+        except Exception as e:
+            print(f"optimize failed for structure {i}: {e}")
+            with open(fail_log, "a") as f:
+                f.write(tag + "\n")
+            out.append(None)
+    return out
+
+
+def _mace_calculator():
+    try:
+        from mace.calculators import mace_mp
+    except ImportError:
+        return None
+    mc = mace_mp(default_dtype="float32", device="cpu")
+
+    def calc(st: Crystal):
+        atoms = st.to_ase()
+        atoms.calc = mc
+        return float(atoms.get_potential_energy()), np.asarray(
+            atoms.get_forces())
+
+    return calc

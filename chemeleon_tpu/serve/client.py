@@ -1,0 +1,49 @@
+"""Streaming HTTP client (reference: app/server_client.py:6-50, client.py)."""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, List, Optional
+from urllib.request import Request, urlopen
+
+from chemeleon_tpu.chem.structure import Crystal
+
+
+def predict_stream(url: str, text_input: str, n_atoms: int, n_samples: int,
+                   timeout: float = 600.0) -> Iterator[dict]:
+    """POST /predict and yield decoded JSON lines as they stream."""
+    body = json.dumps({"text_input": text_input, "n_atoms": n_atoms,
+                       "n_samples": n_samples}).encode()
+    req = Request(url.rstrip("/") + "/predict", data=body,
+                  headers={"Content-Type": "application/json"})
+    with urlopen(req, timeout=timeout) as r:
+        buf = b""
+        while True:
+            chunk = r.read(65536)
+            if not chunk:
+                break
+            buf += chunk
+            while b"\n" in buf:
+                line, buf = buf.split(b"\n", 1)
+                if line.strip():
+                    yield json.loads(line)
+
+
+def predict(url: str, text_input: str, n_atoms: int, n_samples: int,
+            timeout: float = 600.0) -> List[Crystal]:
+    """Blocking call: return the final structures."""
+    last = None
+    for payload in predict_stream(url, text_input, n_atoms, n_samples,
+                                  timeout):
+        last = payload
+    if last is None:
+        return []
+    return [Crystal.from_dict(d) for d in last["atoms"]]
+
+
+if __name__ == "__main__":
+    import sys
+    url = sys.argv[1] if len(sys.argv) > 1 else "http://127.0.0.1:8000"
+    for payload in predict_stream(url, "A Crystal Structure of LiMnO4", 6, 2):
+        print("step", payload.get("step"), "natoms",
+              [len(a["atom_types"]) for a in payload["atoms"]])

@@ -1,0 +1,104 @@
+"""Pretrained model loading (reference chemeleon.py:97-135).
+
+``load_pretrained(kind)`` downloads the reference Lightning checkpoints from
+figshare when missing (reference URLs, constants.py:9-14), converts them to
+flax params (utils/convert.py), and returns a ready-to-sample Chemeleon. The
+converted tree is cached as .npz so conversion (and torch) is needed once.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from chemeleon_tpu.utils.constants import (
+    CHECKPOINT_URLS,
+    PATH_CHEMELEON_COMPOSITION,
+    PATH_CHEMELEON_GENERAL_TEXT,
+    PATH_CLIP_COMPOSITION,
+    PATH_CLIP_GENERAL_TEXT,
+)
+from chemeleon_tpu.utils.download import download_file
+
+_KINDS = {
+    "general_text": (PATH_CHEMELEON_GENERAL_TEXT, PATH_CLIP_GENERAL_TEXT,
+                     "chemeleon_general_text", "clip_general_text"),
+    "composition": (PATH_CHEMELEON_COMPOSITION, PATH_CLIP_COMPOSITION,
+                    "chemeleon_composition", "clip_composition"),
+}
+
+
+def _ensure(path: Path, url_key: str) -> None:
+    if not path.exists():
+        url = CHECKPOINT_URLS[url_key]
+        print(f"Downloading Chemeleon checkpoint from {url}...")
+        download_file(url, path)
+
+
+def load_pretrained(kind: str, text_backend: str = "auto",
+                    path_ckpt: Optional[str] = None,
+                    path_ckpt_clip: Optional[str] = None):
+    from chemeleon_tpu.models.chemeleon import Chemeleon
+    from chemeleon_tpu.utils.convert import convert_chemeleon_checkpoint
+
+    if kind not in _KINDS:
+        raise ValueError(f"unknown pretrained kind {kind!r}; "
+                         f"one of {sorted(_KINDS)}")
+    dft_path, dft_clip, url_key, clip_url_key = _KINDS[kind]
+    path = Path(path_ckpt) if path_ckpt else dft_path
+    clip_path = Path(path_ckpt_clip) if path_ckpt_clip else dft_clip
+    _ensure(path, url_key)
+    _ensure(clip_path, clip_url_key)
+
+    cfg, params, buffers, clip_extras = convert_chemeleon_checkpoint(
+        path, clip_path)
+    model = Chemeleon(cfg, text_backend=text_backend)
+
+    # bit-parity: adopt the checkpoint's Monte-Carlo sigma_norm table
+    if "sigma_scheduler.sigmas_norm" in buffers:
+        import jax.numpy as jnp
+        import dataclasses
+        sig = model.sched.sigma
+        model.sched = model.sched._replace(sigma=dataclasses.replace(
+            sig,
+            sigmas=jnp.asarray(buffers["sigma_scheduler.sigmas"]),
+            sigmas_norm=jnp.asarray(buffers["sigma_scheduler.sigmas_norm"])))
+
+    # convert numpy -> jax and validate the tree against a fresh init
+    ref = model.init_params(jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda x: jax.numpy.asarray(np.asarray(x)), params)
+    _check_tree_compatible(ref, params)
+    model.params = params
+
+    # attach the CLIP text projection (text_encoder.py:180-182)
+    if clip_extras is not None and model.text_encoder is not None:
+        from chemeleon_tpu.models.clip import CrystalClip  # noqa: F401
+        proj = clip_extras["projections"]["text_proj"]
+        from chemeleon_tpu.text.encoder import ProjectionMLP
+        import jax.numpy as jnp
+        mlp = ProjectionMLP(cfg.text_embed_dim, cfg.clip_dim)
+        proj_params = {"params": proj["params"]["text_proj"]}
+        model.text_encoder.clip_apply = (
+            lambda raw: mlp.apply(proj_params, raw))
+    return model
+
+
+def _check_tree_compatible(ref, got) -> None:
+    ref_shapes = jax.tree.map(lambda x: x.shape, ref)
+    got_shapes = jax.tree.map(lambda x: tuple(x.shape), got)
+    rf = jax.tree_util.tree_flatten_with_path(ref_shapes)[0]
+    gf = jax.tree_util.tree_flatten_with_path(got_shapes)[0]
+    ref_map = {jax.tree_util.keystr(k): v for k, v in rf}
+    got_map = {jax.tree_util.keystr(k): v for k, v in gf}
+    missing = set(ref_map) - set(got_map)
+    extra = set(got_map) - set(ref_map)
+    bad = {k: (ref_map[k], got_map[k]) for k in set(ref_map) & set(got_map)
+           if tuple(ref_map[k]) != tuple(got_map[k])}
+    if missing or extra or bad:
+        raise ValueError(
+            f"checkpoint tree mismatch:\n missing={sorted(missing)[:8]}\n "
+            f"extra={sorted(extra)[:8]}\n shape_mismatch={bad}")

@@ -1,0 +1,174 @@
+"""Workflow-layer tests: CLI, scripts, evaluation, serving, visualization,
+relaxation — all with a tiny injected model (no pretrained weights)."""
+
+import csv
+import json
+import os
+import socket
+import time
+
+import jax
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from chemeleon_tpu.chem.cif import write_cif
+from chemeleon_tpu.chem.lattice import lattice_from_parameters
+from chemeleon_tpu.chem.structure import Crystal
+from chemeleon_tpu.config import get_config
+from chemeleon_tpu.models.chemeleon import Chemeleon
+
+TINY = dict(hidden_dim=32, time_dim=16, text_dim=24, num_layers=2,
+            num_freqs=4, timesteps=20, text_embed_dim=32, pad_buckets=(8, 16))
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = get_config(None, **TINY)
+    m = Chemeleon(cfg, text_backend="hash")
+    m.init_params(jax.random.PRNGKey(0))
+    return m
+
+
+def test_cli_help_tree():
+    from chemeleon_tpu.cli import cli
+    r = CliRunner().invoke(cli, ["--help"])
+    assert r.exit_code == 0
+    for grp in ["navigate", "sample", "evaluate", "bench"]:
+        assert grp in r.output
+    r = CliRunner().invoke(cli, ["sample", "--help"])
+    assert "composition" in r.output and "prompt" in r.output
+    r = CliRunner().invoke(cli, ["sample", "prompt", "--help"])
+    for flag in ["--text-input", "--n-atoms", "--n-samples", "--save-dir"]:
+        assert flag in r.output
+    r = CliRunner().invoke(cli, ["navigate", "system", "--help"])
+    for flag in ["--elements", "--max-stoich", "--max-natoms", "--max-factor"]:
+        assert flag in r.output
+
+
+def test_sample_prompt_script(model, tmp_path):
+    from chemeleon_tpu.scripts.sample_prompt import sample_prompt
+    out = sample_prompt("LiMnO4", n_samples=2, n_atoms=4,
+                        save_dir=str(tmp_path), model=model,
+                        key=jax.random.PRNGKey(0))
+    assert len(out) == 2
+    cifs = [f for f in os.listdir(tmp_path) if f.endswith(".cif")]
+    assert len(cifs) == 2
+    text = (tmp_path / cifs[0]).read_text()
+    assert "_cell_length_a" in text
+
+
+def test_sample_target_composition_script(model, tmp_path):
+    from chemeleon_tpu.scripts.sample_target_composition import (
+        sample_target_composition,
+    )
+    out = sample_target_composition("TiO2", n_samples=3, max_natoms=6,
+                                    max_factor=2, save_dir=str(tmp_path),
+                                    model=model, key=jax.random.PRNGKey(0))
+    # untrained model: unlikely to hit composition, but pipeline must run
+    assert isinstance(out, list)
+
+
+def test_enumerate_valid_compositions():
+    from chemeleon_tpu.scripts.navigate_chemical_system import (
+        enumerate_valid_compositions,
+    )
+    comps = enumerate_valid_compositions(["Ti", "O"], max_stoich=4)
+    formulas = {"".join(f"{el}{n if n > 1 else ''}"
+                        for el, n in sorted(c.items())) for c in comps}
+    assert "O2Ti" in formulas  # TiO2
+    assert "Ti" in formulas    # elemental is valid
+    # all returned pass smact
+    from chemeleon_tpu.chem.validity import smact_validity
+    assert all(smact_validity(c) for c in comps)
+
+
+def test_evaluate_end_to_end(model, tmp_path, monkeypatch):
+    from chemeleon_tpu.eval import evaluate as ev
+    from chemeleon_tpu.eval.evaluate import test_evaluate
+    # untrained weights produce >60 A lattices; bypass the validity filter so
+    # the metric pipeline itself is exercised
+    monkeypatch.setattr(ev.M, "test_valid", lambda lst: list(lst))
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(2):
+        n = int(rng.integers(3, 6))
+        c = Crystal(lattice_from_parameters(4, 5, 6, 90, 90, 90),
+                    rng.uniform(size=(n, 3)), rng.integers(1, 20, n))
+        rows.append({"material_id": f"mp-{i}", "cif": write_cif(c),
+                     "composition": c.reduced_formula()})
+    path = tmp_path / "test.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["material_id", "cif", "composition"])
+        w.writeheader()
+        w.writerows(rows)
+
+    means = test_evaluate(model, test_data=path, n_samples=4,
+                          save_path=str(tmp_path / "res"), progress=False)
+    assert (tmp_path / "res" / "results.csv").exists()
+    for k in ["mean_valid_samples", "mean_unique", "mean_structure_matching",
+              "mean_composition_matching", "mean_crystal_system_matching",
+              "mean_lattice_system_matching"]:
+        assert k in means, k
+    assert 0.0 <= means["mean_valid_samples"] <= 1.0
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_server_streaming(model):
+    from chemeleon_tpu.serve.client import predict, predict_stream
+    from chemeleon_tpu.serve.server import ChemeleonServer
+
+    port = _free_port()
+    server = ChemeleonServer(model=model, host="127.0.0.1", port=port,
+                             stream_chunk=5)
+    server.run(background=True)
+    try:
+        url = f"http://127.0.0.1:{port}"
+        # health
+        import urllib.request
+        with urllib.request.urlopen(url + "/health", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        payloads = list(predict_stream(url, "TiO2", 4, 2, timeout=600))
+        assert len(payloads) == 20 // 5
+        assert payloads[-1]["step"] == 0
+        crystals = predict(url, "TiO2", 4, 2, timeout=600)
+        assert len(crystals) == 2 and len(crystals[0]) == 4
+    finally:
+        server.shutdown()
+
+
+def test_visualizer(tmp_path, model):
+    from chemeleon_tpu.visualize import Visualizer
+    crystals = model.sample("TiO2", 4, 1, key=jax.random.PRNGKey(0))
+    v = Visualizer()
+    assert v.backend == "matplotlib"  # no plotly in this env
+    v.view(crystals[0], save_path=str(tmp_path / "st.png"))
+    assert (tmp_path / "st.png").stat().st_size > 1000
+
+
+def test_fire_relax_reduces_overlap():
+    from chemeleon_tpu.eval.optimize import SoftSphereCalculator, fire_relax
+    lat = lattice_from_parameters(5, 5, 5, 90, 90, 90)
+    st = Crystal(lat, [[0.5, 0.5, 0.5], [0.52, 0.5, 0.5]], [11, 17])
+    calc = SoftSphereCalculator()
+    e0, _ = calc(st)
+    relaxed, info = fire_relax(st, calc, steps=100)
+    e1, _ = calc(relaxed)
+    assert e1 < e0
+    assert relaxed.min_pair_distance() > st.min_pair_distance()
+
+
+def test_optimize_atoms_list_fail_log(tmp_path):
+    from chemeleon_tpu.eval.optimize import optimize_atoms_list
+    lat = lattice_from_parameters(5, 5, 5, 90, 90, 90)
+    sts = [Crystal(lat, [[0.1, 0.1, 0.1], [0.3, 0.3, 0.3]], [11, 17])]
+    out = optimize_atoms_list(sts, str(tmp_path), steps=20)
+    assert len(out) == 1 and out[0] is not None
+    assert (tmp_path / "opt_0.cif").exists()
