@@ -184,12 +184,12 @@ def model_predictions(decoder_params: Any, decoder: CSPNet,
                       text_embeds: Optional[jnp.ndarray],
                       null_text_embeds: Optional[jnp.ndarray]):
     if text_embeds is not None:
-        # One forward of batch 2B: [conditional; unconditional].
-        cat = lambda x: jnp.concatenate([x, x], axis=0)
-        out = decoder.apply(decoder_params, cat(atom_types), cat(frac_coords),
-                            cat(lattices), cat(mask), cat(time_emb),
-                            jnp.concatenate([text_embeds, null_text_embeds],
-                                            axis=0))
+        # One forward with R=2 conditioning replicas [conditional; null] over
+        # shared geometry — the pairwise Fourier matmuls run once, not twice
+        # (vs the reference's two separate decoder calls, chemeleon.py:258-285).
+        out = decoder.apply(decoder_params, atom_types, frac_coords,
+                            lattices, mask, time_emb,
+                            jnp.stack([text_embeds, null_text_embeds], axis=0))
         B = atom_types.shape[0]
         mix = lambda y: ((1.0 - cond_scale) * y[B:] + cond_scale * y[:B])
         return (mix(out.atom_types_out), mix(out.lattice_out),

@@ -133,24 +133,40 @@ class CSPLayer(nn.Module):
                                          dtype=dt)(node_features)
 
         h = node_features.astype(dt)
+        RB = h.shape[0]
+        B = fourier_ij.shape[0]
+        N = h.shape[1]
         # Decomposed first edge linear: blocks [W_i; W_j; W_lat; W_f].
         w_i = e1_kernel[:H]
         w_j = e1_kernel[H: 2 * H]
         w_lat = e1_kernel[2 * H: 2 * H + 9]
         w_f = e1_kernel[2 * H + 9:]
 
-        term_i = h @ w_i                                          # [B, N, H]
-        term_j = h @ w_j                                          # [B, N, H]
+        term_i = h @ w_i                                          # [RB, N, H]
+        term_j = h @ w_j                                          # [RB, N, H]
         term_lat = lat_ip_flat.astype(dt) @ w_lat                 # [B, H]
         term_f = fourier_ij.astype(dt) @ w_f                      # [B, N, N, H]
 
-        e = (term_i[:, :, None, :] + term_j[:, None, :, :]
-             + term_lat[:, None, None, :] + term_f + e1_bias.astype(dt))
+        if RB != B:
+            # CFG dual-conditioning: the R conditioning replicas share the
+            # same geometry, so the dominant pairwise Fourier matmul above is
+            # computed ONCE for B graphs and broadcast over R here.
+            R = RB // B
+            e = (term_i.reshape(R, B, N, 1, H)
+                 + term_j.reshape(R, B, 1, N, H)
+                 + term_lat[None, :, None, None, :]
+                 + term_f[None] + e1_bias.astype(dt))             # [R,B,N,N,H]
+            agg_mask = pair_mask[None]                            # [1,B,N,N]
+        else:
+            e = (term_i[:, :, None, :] + term_j[:, None, :, :]
+                 + term_lat[:, None, None, :] + term_f + e1_bias.astype(dt))
+            agg_mask = pair_mask
         e = nn.silu(e)
         e = nn.Dense(H, name="edge_lin2", dtype=dt)(e)
-        e = nn.silu(e)                                            # [B, N, N, H]
+        e = nn.silu(e)
 
-        agg = masked_mean_pairs(e, pair_mask)                     # [B, N, H]
+        agg = masked_mean_pairs(e, agg_mask)                      # [.., N, H]
+        agg = agg.reshape(RB, N, H)
 
         # Node MLP on concat([h, agg]) (cspnet.py:119-124, :154-163),
         # decomposed the same way.
@@ -228,6 +244,21 @@ class CSPNet(nn.Module):
             h = nn.Embed(self.max_atoms, self.hidden_dim, name="node_embedding",
                          dtype=dt)(atom_types)
 
+        # CFG dual-conditioning: text_embeds of shape [R, B, D] runs R
+        # conditioning replicas over the SAME geometry in one forward — the
+        # pairwise Fourier work is shared (see CSPLayer). Output leading dim
+        # is R*B with replica-major layout ([cond...; null...] for R=2,
+        # matching a batch-concat layout).
+        R = 1
+        if text_embeds is not None and text_embeds.ndim == 3:
+            R = text_embeds.shape[0]
+            h = jnp.tile(h, (R, 1, 1))
+            text_embeds = text_embeds.reshape(R * B, -1)
+            if t_emb is not None:
+                t_emb = jnp.tile(t_emb, (R, 1))
+        mask_rb = jnp.tile(mask, (R, 1)) if R > 1 else mask
+        lattices_rb = jnp.tile(lattices, (R, 1, 1)) if R > 1 else lattices
+
         # Conditioning (FiLM shared across layers, cspnet.py:211-212, :371-375).
         cond = None
         if t_emb is not None and text_embeds is not None:
@@ -253,13 +284,13 @@ class CSPNet(nn.Module):
 
         coord_out = nn.Dense(3, use_bias=False, name="coord_out", dtype=dt)(h)
 
-        graph_features = masked_mean_nodes(h, mask)               # [B, H]
+        graph_features = masked_mean_nodes(h, mask_rb)            # [R*B, H]
         lattice_out = nn.Dense(9, use_bias=False, name="lattice_out",
                                dtype=dt)(graph_features)
-        lattice_out = lattice_out.reshape(B, 3, 3)
+        lattice_out = lattice_out.reshape(R * B, 3, 3)
         if self.ip:
             lattice_out = jnp.einsum("bij,bjk->bik", lattice_out,
-                                     lattices.astype(lattice_out.dtype))
+                                     lattices_rb.astype(lattice_out.dtype))
 
         type_out = None
         if self.pred_atom_types:

@@ -119,12 +119,14 @@ def masked_sum_nodes(h: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def masked_mean_pairs(m_ij: jnp.ndarray, pair_mask: jnp.ndarray) -> jnp.ndarray:
-    """Aggregate messages over j: [B, N, N, H], [B, N, N] -> [B, N, H].
+    """Aggregate messages over j: [..., N, N, H], [..., N, N] -> [..., N, H].
 
     Replaces ``scatter_mean(edge_features, edge_index[0])`` (cspnet.py:155-160).
-    For fc graphs the per-node denominator is natoms (self-loops included)."""
+    For fc graphs the per-node denominator is natoms (self-loops included).
+    Leading dims broadcast (used by the CFG dual-conditioning path where the
+    mask is shared across conditioning replicas)."""
     w = pair_mask.astype(m_ij.dtype)[..., None]
-    return (m_ij * w).sum(axis=2) / jnp.maximum(w.sum(axis=2), 1.0)
+    return (m_ij * w).sum(axis=-2) / jnp.maximum(w.sum(axis=-2), 1.0)
 
 
 def fc_pair_mask(mask: jnp.ndarray) -> jnp.ndarray:
