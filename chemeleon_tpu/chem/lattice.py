@@ -75,7 +75,15 @@ def niggli_reduce(matrix: np.ndarray, tol: float = 1e-5,
 
     The returned matrix spans the same lattice (related by a unimodular
     transform). Raises ValueError if the iteration fails to converge.
+    Uses the native C++ kernel when built (chemeleon_tpu/native).
     """
+    try:
+        from chemeleon_tpu.native import available
+        if available():
+            from chemeleon_tpu.native import niggli_reduce as native_niggli
+            return native_niggli(matrix, tol=tol, max_iter=max_iter)
+    except ImportError:
+        pass
     m = np.asarray(matrix, dtype=np.float64).copy()
     e = tol * volume(m) ** (1.0 / 3.0)
 

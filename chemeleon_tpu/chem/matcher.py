@@ -54,11 +54,23 @@ class StructureMatcher:
 
     def __init__(self, ltol: float = 0.2, stol: float = 0.3,
                  angle_tol: float = 5.0, primitive_cell: bool = True,
-                 scale: bool = True):
+                 scale: bool = True, backend: str = "auto"):
         self.ltol = ltol
         self.stol = stol
         self.angle_tol = angle_tol
         self.scale = scale
+        self._native = False
+        if backend in ("auto", "native"):
+            try:
+                from chemeleon_tpu.native import available, structures_fit
+                if available():
+                    self._native_fit = structures_fit
+                    self._native = True
+                elif backend == "native":
+                    raise RuntimeError("native matcher unavailable")
+            except ImportError:
+                if backend == "native":
+                    raise
 
     # -- lattice comparison --------------------------------------------------
     def _params_match(self, p1, p2) -> bool:
@@ -77,6 +89,13 @@ class StructureMatcher:
             return False
         if sorted(s1.atom_types.tolist()) != sorted(s2.atom_types.tolist()):
             return False
+
+        if self._native:
+            return self._native_fit(
+                s1.lattice, s1.frac_coords, s1.atom_types,
+                s2.lattice, s2.frac_coords, s2.atom_types,
+                ltol=self.ltol, stol=self.stol, angle_tol=self.angle_tol,
+                scale=self.scale)
 
         lat1, f1 = _niggli_frame(s1)
         lat2, f2 = _niggli_frame(s2)

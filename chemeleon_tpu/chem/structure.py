@@ -84,6 +84,12 @@ class Crystal:
     # -- geometry -----------------------------------------------------------
     def distance_matrix(self) -> np.ndarray:
         """Min-image pairwise distances [n, n] over the 3x3x3 image set."""
+        try:
+            from chemeleon_tpu.native import available, distance_matrix
+            if available():
+                return distance_matrix(self.lattice, self.frac_coords)
+        except ImportError:
+            pass
         n = len(self)
         cart = self.cart_coords
         offsets = np.array([[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
@@ -98,6 +104,12 @@ class Crystal:
         n = len(self)
         if n < 1:
             return float("inf")
+        try:
+            from chemeleon_tpu.native import available, min_pair_distance
+            if available():
+                return min_pair_distance(self.lattice, self.frac_coords)
+        except ImportError:
+            pass
         d = self.distance_matrix()
         np.fill_diagonal(d, np.inf)  # same atom, center image
         # self-image distances (atom to its own periodic copy):
