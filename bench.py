@@ -31,9 +31,10 @@ def main():
     n_atoms = int(os.environ.get("BENCH_NATOMS", "16"))
     timesteps = int(os.environ.get("BENCH_TIMESTEPS", "1000"))
     compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
 
     cfg = get_config(None, timesteps=timesteps, compute_dtype=compute_dtype,
-                     pad_buckets=(n_atoms,))
+                     pad_buckets=(n_atoms,), use_pallas=use_pallas)
     model = Chemeleon(cfg, text_backend="hash")
     model.init_params(jax.random.PRNGKey(0))
 

@@ -69,7 +69,7 @@ def build_schedulers(cfg: ChemeleonConfig) -> Schedulers:
     return Schedulers(beta, sigma, d3pm)
 
 
-def build_decoder(cfg: ChemeleonConfig) -> CSPNet:
+def build_decoder(cfg: ChemeleonConfig, use_pallas: bool = False) -> CSPNet:
     return CSPNet(
         hidden_dim=cfg.hidden_dim, time_dim=cfg.time_dim,
         text_dim=cfg.text_dim if cfg.text_guide else 0,
@@ -77,7 +77,8 @@ def build_decoder(cfg: ChemeleonConfig) -> CSPNet:
         dis_emb=cfg.dis_emb, num_freqs=cfg.num_freqs, edge_style=cfg.edge_style,
         cutoff=cfg.cutoff, max_neighbors=cfg.max_neighbors, ln=cfg.ln,
         ip=cfg.ip, smooth=cfg.smooth, pred_atom_types=cfg.pred_atom_types,
-        dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32)
+        dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+        use_pallas=use_pallas)
 
 
 # ---------------------------------------------------------------------------
@@ -313,7 +314,11 @@ class Chemeleon:
     def __init__(self, config: ChemeleonConfig,
                  text_backend: str = "auto"):
         self.cfg = config
+        # training/XLA decoder and (optionally Pallas-fused) sampling decoder
+        # share identical parameter trees; only the compute schedule differs.
         self.decoder = build_decoder(config)
+        self.decoder_sample = (build_decoder(config, use_pallas=True)
+                               if config.use_pallas else self.decoder)
         self.sched = build_schedulers(config)
         self.text_encoder = None
         if config.text_guide:
@@ -368,7 +373,7 @@ class Chemeleon:
         if sig in self._sampler_cache:
             return self._sampler_cache[sig]
 
-        decoder, sched, cfg = self.decoder, self.sched, self.cfg
+        decoder, sched, cfg = self.decoder_sample, self.sched, self.cfg
 
         @functools.partial(jax.jit, static_argnames=())
         def run(params, natoms, text_embeds, null_text_embeds, key,

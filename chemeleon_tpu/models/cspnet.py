@@ -72,6 +72,11 @@ def sinusoids_embedding(x: jnp.ndarray, n_frequencies: int) -> jnp.ndarray:
     return jax.lax.stop_gradient(emb)
 
 
+def _pallas_supported(n: int, hidden: int, dis_dim: int) -> bool:
+    from chemeleon_tpu.ops.pallas.edge_agg import supported
+    return supported(n, hidden, dis_dim)
+
+
 class FilmLayer(nn.Module):
     """Feature-wise linear modulation + residual block (cspnet.py:55-97).
 
@@ -110,6 +115,7 @@ class CSPLayer(nn.Module):
     ln: bool = False
     ip: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, node_features: jnp.ndarray, fourier_ij: jnp.ndarray,
@@ -123,6 +129,10 @@ class CSPLayer(nn.Module):
         e1_kernel = self.param("edge_lin1_kernel", nn.initializers.lecun_normal(),
                                (in_dim, H), jnp.float32)
         e1_bias = self.param("edge_lin1_bias", nn.initializers.zeros, (H,),
+                             jnp.float32)
+        e2_kernel = self.param("edge_lin2_kernel", nn.initializers.lecun_normal(),
+                               (H, H), jnp.float32)
+        e2_bias = self.param("edge_lin2_bias", nn.initializers.zeros, (H,),
                              jnp.float32)
         dt = self.dtype
         e1_kernel = e1_kernel.astype(dt)
@@ -145,28 +155,42 @@ class CSPLayer(nn.Module):
         term_i = h @ w_i                                          # [RB, N, H]
         term_j = h @ w_j                                          # [RB, N, H]
         term_lat = lat_ip_flat.astype(dt) @ w_lat                 # [B, H]
-        term_f = fourier_ij.astype(dt) @ w_f                      # [B, N, N, H]
 
-        if RB != B:
-            # CFG dual-conditioning: the R conditioning replicas share the
-            # same geometry, so the dominant pairwise Fourier matmul above is
-            # computed ONCE for B graphs and broadcast over R here.
-            R = RB // B
-            e = (term_i.reshape(R, B, N, 1, H)
-                 + term_j.reshape(R, B, 1, N, H)
-                 + term_lat[None, :, None, None, :]
-                 + term_f[None] + e1_bias.astype(dt))             # [R,B,N,N,H]
-            agg_mask = pair_mask[None]                            # [1,B,N,N]
+        if self.use_pallas and _pallas_supported(N, H, D):
+            # Fused VMEM-resident edge MLP + aggregation (ops/pallas/edge_agg)
+            # — never materializes the [RB, N, N, H] pair tensors in HBM.
+            from chemeleon_tpu.ops.pallas.edge_agg import fused_edge_aggregate
+            maskf = mask.astype(jnp.float32)
+            jmask = maskf / jnp.maximum(maskf.sum(-1, keepdims=True), 1.0)
+            base = (term_lat.astype(jnp.float32)
+                    + e1_bias.astype(jnp.float32))
+            interpret = jax.default_backend() != "tpu"
+            agg = fused_edge_aggregate(
+                term_i, term_j, base, fourier_ij.astype(dt), jmask,
+                w_f, e2_kernel.astype(dt), e2_bias, interpret=interpret)
+            agg = agg.astype(dt)
         else:
-            e = (term_i[:, :, None, :] + term_j[:, None, :, :]
-                 + term_lat[:, None, None, :] + term_f + e1_bias.astype(dt))
-            agg_mask = pair_mask
-        e = nn.silu(e)
-        e = nn.Dense(H, name="edge_lin2", dtype=dt)(e)
-        e = nn.silu(e)
-
-        agg = masked_mean_pairs(e, agg_mask)                      # [.., N, H]
-        agg = agg.reshape(RB, N, H)
+            term_f = fourier_ij.astype(dt) @ w_f              # [B, N, N, H]
+            if RB != B:
+                # CFG dual-conditioning: the R conditioning replicas share
+                # the same geometry, so the dominant pairwise Fourier matmul
+                # above is computed ONCE for B graphs and broadcast over R.
+                R = RB // B
+                e = (term_i.reshape(R, B, N, 1, H)
+                     + term_j.reshape(R, B, 1, N, H)
+                     + term_lat[None, :, None, None, :]
+                     + term_f[None] + e1_bias.astype(dt))     # [R,B,N,N,H]
+                agg_mask = pair_mask[None]                    # [1,B,N,N]
+            else:
+                e = (term_i[:, :, None, :] + term_j[:, None, :, :]
+                     + term_lat[:, None, None, :] + term_f
+                     + e1_bias.astype(dt))
+                agg_mask = pair_mask
+            e = nn.silu(e)
+            e = e @ e2_kernel.astype(dt) + e2_bias.astype(dt)
+            e = nn.silu(e)
+            agg = masked_mean_pairs(e, agg_mask)              # [.., N, H]
+            agg = agg.reshape(RB, N, H)
 
         # Node MLP on concat([h, agg]) (cspnet.py:119-124, :154-163),
         # decomposed the same way.
@@ -205,6 +229,7 @@ class CSPNet(nn.Module):
     smooth: bool = False
     pred_atom_types: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False  # fused edge kernel (inference path)
 
     @nn.compact
     def __call__(self, atom_types: jnp.ndarray, frac_coords: jnp.ndarray,
@@ -276,7 +301,8 @@ class CSPNet(nn.Module):
             if cond is not None and film is not None:
                 h = film(h, cond)
             h = CSPLayer(self.hidden_dim, dis_dim, ln=self.ln, ip=self.ip,
-                         name=f"csp_layer_{i}", dtype=dt)(
+                         name=f"csp_layer_{i}", dtype=dt,
+                         use_pallas=self.use_pallas)(
                 h, fourier_ij, lat_ip_flat, pair_mask, mask)
 
         if self.ln:

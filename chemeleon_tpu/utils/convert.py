@@ -78,11 +78,13 @@ def convert_decoder_state_dict(sd: Dict, num_layers: int,
     for i in range(num_layers):
         lp = f"{prefix}csp_layer_{i}."
         e1 = _linear(sd, f"{lp}edge_mlp.0")
+        e2 = _linear(sd, f"{lp}edge_mlp.2")
         n1 = _linear(sd, f"{lp}node_mlp.0")
         layer: Dict[str, Any] = {
             "edge_lin1_kernel": e1["kernel"],
             "edge_lin1_bias": e1["bias"],
-            "edge_lin2": _linear(sd, f"{lp}edge_mlp.2"),
+            "edge_lin2_kernel": e2["kernel"],
+            "edge_lin2_bias": e2["bias"],
             "node_lin1_kernel": n1["kernel"],
             "node_lin1_bias": n1["bias"],
             "node_lin2": _linear(sd, f"{lp}node_mlp.2"),
@@ -193,7 +195,10 @@ def decoder_params_to_state_dict(params: Dict[str, Any], ln: bool,
             lp["edge_lin1_kernel"]).T
         sd[f"{prefix}csp_layer_{i}.edge_mlp.0.bias"] = np.asarray(
             lp["edge_lin1_bias"])
-        put_linear(f"{prefix}csp_layer_{i}.edge_mlp.2", lp["edge_lin2"])
+        sd[f"{prefix}csp_layer_{i}.edge_mlp.2.weight"] = np.asarray(
+            lp["edge_lin2_kernel"]).T
+        sd[f"{prefix}csp_layer_{i}.edge_mlp.2.bias"] = np.asarray(
+            lp["edge_lin2_bias"])
         sd[f"{prefix}csp_layer_{i}.node_mlp.0.weight"] = np.asarray(
             lp["node_lin1_kernel"]).T
         sd[f"{prefix}csp_layer_{i}.node_mlp.0.bias"] = np.asarray(

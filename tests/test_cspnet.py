@@ -88,7 +88,7 @@ def oracle_forward(params, types, coords, lat, temb, text):
                         _np(lp["layer_norm"]["bias"]))
         # all edges incl self-loops
         e1k, e1b = _np(lp["edge_lin1_kernel"]), _np(lp["edge_lin1_bias"])
-        e2k, e2b = _np(lp["edge_lin2"]["kernel"]), _np(lp["edge_lin2"]["bias"])
+        e2k, e2b = _np(lp["edge_lin2_kernel"]), _np(lp["edge_lin2_bias"])
         agg = np.zeros((n, H))
         for i in range(n):
             msgs = []
