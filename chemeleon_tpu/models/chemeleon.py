@@ -488,6 +488,30 @@ class Chemeleon:
 
     # -- checkpoint loading ----------------------------------------------------
     @classmethod
+    def load_from_checkpoint(cls, path: str, **kwargs) -> "Chemeleon":
+        """Load either an orbax checkpoint directory produced by the Trainer
+        (with meta.json carrying the config) or a reference Lightning .ckpt
+        (converted on the fly). Mirrors Lightning's argument-free
+        load_from_checkpoint (reference chemeleon.py:113-115)."""
+        import json
+        import os
+
+        if str(path).endswith(".ckpt"):
+            from chemeleon_tpu.utils.checkpoints import load_pretrained
+            return load_pretrained("general_text", path_ckpt=path, **kwargs)
+        import orbax.checkpoint as ocp
+        from pathlib import Path as _P
+        p = _P(path)
+        with open(p / "meta.json") as f:
+            meta = json.load(f)
+        cfg = ChemeleonConfig.from_dict(meta["config"])
+        model = cls(cfg, **kwargs)
+        like = model.init_params(jax.random.PRNGKey(0))
+        ckptr = ocp.StandardCheckpointer()
+        model.params = ckptr.restore(p.absolute() / "params", like)
+        return model
+
+    @classmethod
     def load_general_text_model(cls, **kwargs) -> "Chemeleon":
         from chemeleon_tpu.utils.checkpoints import load_pretrained
         return load_pretrained("general_text", **kwargs)

@@ -6,15 +6,16 @@ The CSP layer's hot op is, per graph pair (i, j):
     e2   = silu(e @ W2 + b2)                                  # edge MLP lin2
     agg_i = sum_j jmask_j * e2_ij                             # masked mean
 
-The XLA path materializes ``e`` and ``e2`` ([R*B, N, N, H] each) in HBM —
-~270 MB of traffic per layer per forward at bench shapes, ~3 TB over a
-1000-step sampling run. This kernel keeps the pair tensors in VMEM: per grid
-step it loads a [TILE_I, N, F] Fourier block, runs both matmuls on the MXU
-with f32 accumulation, applies the silus on the VPU, and reduces over j —
-only the [TILE_I, H] aggregate ever leaves the chip.
+The XLA path materializes ``e`` and ``e2`` ([R*B, N, N, H] each) in HBM;
+this kernel keeps the pair tensors in VMEM: per grid step it loads the
+Fourier blocks of G graphs, runs both matmuls on the MXU with f32
+accumulation, applies the silus in bf16 on the VPU, and reduces over j —
+only the [G, N, H] aggregates leave the chip.
 
-Grid: (R, B, N // TILE_I). The conditioning replica r and graph b share the
-Fourier block (CFG geometry sharing); TILE_I=8 divides every padding bucket.
+Grid: (R, B // G). Graphs are blocked G at a time so each step's matmuls
+are [G*N*N, F] @ [F, H] — large enough to keep the MXU busy. The
+conditioning replica r shares the Fourier blocks with the other replicas
+(CFG geometry sharing).
 
 Used on the inference path (no custom VJP yet); training uses the XLA path.
 """
@@ -22,7 +23,6 @@ Used on the inference path (no custom VJP yet); training uses the XLA path.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,40 +30,51 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _silu(x: jnp.ndarray) -> jnp.ndarray:
+    """silu with dtype-consistent constants (jax.nn.sigmoid trips a Mosaic
+    f32-scalar-into-bf16-vector broadcast bug on TPU)."""
+    one = jnp.asarray(1.0, dtype=x.dtype)
+    return x / (one + jnp.exp(-x))
+
+
 def _kernel(term_i_ref, term_j_ref, base_ref, fourier_ref, jmask_ref,
-            w_f_ref, w2_ref, b2_ref, out_ref, *, tile_i: int, n: int,
-            hidden: int):
-    TI, N, H = tile_i, n, hidden
-    four = fourier_ref[0]                                    # [TI, N, F]
+            w_f_ref, w2_ref, b2_ref, out_ref, *, g: int, n: int, hidden: int):
+    G, N, H = g, n, hidden
+    four = fourier_ref[:]                                    # [G, N, N, F]
     F = four.shape[-1]
-    t1 = jnp.dot(four.reshape(TI * N, F), w_f_ref[:],
-                 preferred_element_type=jnp.float32)         # [TI*N, H]
-    e = (t1.reshape(TI, N, H)
-         + term_i_ref[0][:, None, :].astype(jnp.float32)
-         + term_j_ref[0][None, :, :].astype(jnp.float32)
-         + base_ref[0][0][None, None, :].astype(jnp.float32))
-    e = e * jax.nn.sigmoid(e)                                # silu (VPU)
-    e2 = jnp.dot(e.astype(w2_ref.dtype).reshape(TI * N, H), w2_ref[:],
+    t1 = jnp.dot(four.reshape(G * N * N, F), w_f_ref[:],
+                 preferred_element_type=jnp.float32)         # [G*N*N, H]
+    e = (t1.reshape(G, N, N, H)
+         + term_i_ref[:][:, :, None, :].astype(jnp.float32)
+         + term_j_ref[:][:, None, :, :].astype(jnp.float32)
+         + base_ref[:][:, None, :, :].astype(jnp.float32))   # base [G,1,H]
+    e = _silu(e.astype(w2_ref.dtype))                        # bf16 VPU
+    e2 = jnp.dot(e.reshape(G * N * N, H), w2_ref[:],
                  preferred_element_type=jnp.float32)
     e2 = e2 + b2_ref[0].astype(jnp.float32)
-    e2 = e2 * jax.nn.sigmoid(e2)
-    e2 = e2.reshape(TI, N, H)
-    agg = (e2 * jmask_ref[0][0][None, :, None]).sum(axis=1)  # [TI, H]
-    out_ref[0] = agg.astype(out_ref.dtype)
+    e2 = _silu(e2.astype(w2_ref.dtype))
+    e2 = e2.reshape(G, N, N, H).astype(jnp.float32)
+    agg = (e2 * jmask_ref[:][:, :, :, None]).sum(axis=2)     # [G, N, H]
+    out_ref[:] = agg.astype(out_ref.dtype)
 
 
-def _pick_tile(n: int) -> int:
-    if n <= 16:
-        return n
-    for t in (8, 4, 2, 1):
-        if n % t == 0:
-            return t
+def _pick_g(n: int, b: int, f: int, hidden: int) -> int:
+    """Largest G dividing B with the VMEM working set under ~6 MB."""
+    for g in (8, 4, 2, 1):
+        if b % g != 0:
+            continue
+        pairs = g * n * n
+        vmem = (pairs * f * 2        # fourier block (bf16)
+                + 2 * pairs * hidden * 2   # e / e2 (bf16)
+                + pairs * hidden * 4)      # f32 accumulator
+        if vmem < 6 * 1024 * 1024:
+            return g
     return 1
 
 
 def supported(n: int, hidden: int, dis_dim: int) -> bool:
-    """Shapes the kernel handles (lane-dim alignment for the MXU)."""
-    return hidden % 128 == 0 and dis_dim % 128 == 0 and n >= 2 and n % 8 == 0
+    """Shapes the kernel handles (lane/sublane alignment for the MXU)."""
+    return hidden % 128 == 0 and dis_dim % 128 == 0 and n >= 8 and n % 8 == 0
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -83,11 +94,11 @@ def fused_edge_aggregate(term_i: jnp.ndarray, term_j: jnp.ndarray,
     B = fourier.shape[0]
     R = RB // B
     F = fourier.shape[-1]
-    TI = _pick_tile(N)
-    NT = N // TI
+    G = _pick_g(N, B, F, H)
+    BG = B // G
 
-    grid = (R, B, NT)
-    kernel = functools.partial(_kernel, tile_i=TI, n=N, hidden=H)
+    grid = (R, BG)
+    kernel = functools.partial(_kernel, g=G, n=N, hidden=H)
     b2_2d = b2.reshape(1, H)
     jmask_3d = jmask.reshape(B, 1, N)
     base_3d = base.reshape(B, 1, H)  # unit middle dim for TPU tile rules
@@ -96,24 +107,24 @@ def fused_edge_aggregate(term_i: jnp.ndarray, term_j: jnp.ndarray,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, TI, H), lambda r, b, t: (r * B + b, t, 0),
+            pl.BlockSpec((G, N, H), lambda r, b: (r * BG + b, 0, 0),
                          memory_space=pltpu.VMEM),           # term_i
-            pl.BlockSpec((1, N, H), lambda r, b, t: (r * B + b, 0, 0),
+            pl.BlockSpec((G, N, H), lambda r, b: (r * BG + b, 0, 0),
                          memory_space=pltpu.VMEM),           # term_j
-            pl.BlockSpec((1, 1, H), lambda r, b, t: (b, 0, 0),
+            pl.BlockSpec((G, 1, H), lambda r, b: (b, 0, 0),
                          memory_space=pltpu.VMEM),           # base
-            pl.BlockSpec((1, TI, N, F), lambda r, b, t: (b, t, 0, 0),
+            pl.BlockSpec((G, N, N, F), lambda r, b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),           # fourier
-            pl.BlockSpec((1, 1, N), lambda r, b, t: (b, 0, 0),
+            pl.BlockSpec((G, 1, N), lambda r, b: (b, 0, 0),
                          memory_space=pltpu.VMEM),           # jmask
-            pl.BlockSpec((F, H), lambda r, b, t: (0, 0),
+            pl.BlockSpec((F, H), lambda r, b: (0, 0),
                          memory_space=pltpu.VMEM),           # w_f
-            pl.BlockSpec((H, H), lambda r, b, t: (0, 0),
+            pl.BlockSpec((H, H), lambda r, b: (0, 0),
                          memory_space=pltpu.VMEM),           # w2
-            pl.BlockSpec((1, H), lambda r, b, t: (0, 0),
+            pl.BlockSpec((1, H), lambda r, b: (0, 0),
                          memory_space=pltpu.VMEM),           # b2
         ],
-        out_specs=pl.BlockSpec((1, TI, H), lambda r, b, t: (r * B + b, t, 0),
+        out_specs=pl.BlockSpec((G, N, H), lambda r, b: (r * BG + b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((RB, N, H), term_i.dtype),
         interpret=interpret,

@@ -1,0 +1,108 @@
+"""ops/graph + ops/scatter unit tests: PBC radius graph, segment ops,
+bit codecs, dataset utils."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chemeleon_tpu.ops.graph import (
+    bits_to_decimal,
+    decimal_to_bits,
+    node_mask,
+    pick_bucket,
+    radius_graph_pbc,
+)
+from chemeleon_tpu.ops.scatter import scatter_mean, scatter_std, scatter_sum
+
+
+def test_radius_graph_pbc_simple_cubic():
+    # 2 atoms in a 4A cubic cell at (0,0,0) and (0.5,0,0): nearest neighbor
+    # distance 2A in both directions along x (direct and periodic image).
+    frac = jnp.asarray([[[0, 0, 0], [0.5, 0, 0]]], dtype=jnp.float32)
+    lat = jnp.eye(3)[None] * 4.0
+    mask = jnp.ones((1, 2), bool)
+    nbr_j, nbr_img, nbr_mask, frac_diff = radius_graph_pbc(
+        frac, lat, mask, cutoff=2.5, max_neighbors=4)
+    # atom 0: neighbors are atom 1 (direct) and atom 1 (image -1 in x)
+    valid = np.asarray(nbr_mask)[0, 0]
+    js = np.asarray(nbr_j)[0, 0][valid]
+    assert (js == 1).all()
+    assert valid.sum() == 2
+    # frac diffs are +-0.5 along x
+    fd = np.asarray(frac_diff)[0, 0][valid]
+    assert sorted(np.round(fd[:, 0], 3).tolist()) == [-0.5, 0.5]
+    # self-edges at distance 0 excluded, self-images at 4A beyond cutoff
+    assert not ((js == 0).any())
+
+
+def test_radius_graph_pbc_max_neighbors_cap():
+    rng = np.random.default_rng(0)
+    frac = jnp.asarray(rng.uniform(size=(1, 8, 3)), dtype=jnp.float32)
+    lat = jnp.eye(3)[None] * 3.0  # dense cell -> many neighbors
+    mask = jnp.ones((1, 8), bool)
+    K = 5
+    _, _, nbr_mask, _ = radius_graph_pbc(frac, lat, mask, cutoff=6.0,
+                                         max_neighbors=K)
+    assert np.asarray(nbr_mask).sum(-1).max() <= K
+
+
+def test_radius_graph_pbc_padding():
+    frac = jnp.asarray([[[0, 0, 0], [0.5, 0.5, 0.5], [0.9, 0.9, 0.9]]],
+                       dtype=jnp.float32)
+    lat = jnp.eye(3)[None] * 4.0
+    mask = jnp.asarray([[True, True, False]])
+    nbr_j, _, nbr_mask, _ = radius_graph_pbc(frac, lat, mask, cutoff=5.0,
+                                             max_neighbors=6)
+    valid = np.asarray(nbr_mask)
+    js = np.asarray(nbr_j)
+    # no valid edge touches the padded atom 2
+    assert not (js[valid] == 2).any()
+    assert valid[0, 2].sum() == 0
+
+
+def test_scatter_ops():
+    src = jnp.asarray([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]])
+    idx = jnp.asarray([0, 0, 1, 1])
+    s = scatter_sum(src, idx, 2)
+    np.testing.assert_allclose(np.asarray(s), [[4, 6], [12, 14]])
+    m = scatter_mean(src, idx, 2)
+    np.testing.assert_allclose(np.asarray(m), [[2, 3], [6, 7]])
+    sd = scatter_std(src, idx, 2)
+    np.testing.assert_allclose(np.asarray(sd),
+                               [[np.sqrt(2), np.sqrt(2)],
+                                [np.sqrt(2), np.sqrt(2)]], rtol=1e-6)
+
+
+def test_bit_codecs_roundtrip():
+    x = jnp.arange(104)
+    b = decimal_to_bits(x, bits=8)
+    assert set(np.unique(np.asarray(b))) <= {-1.0, 1.0}
+    np.testing.assert_array_equal(np.asarray(bits_to_decimal(b, 8)),
+                                  np.arange(104))
+
+
+def test_pick_bucket():
+    assert pick_bucket(5, (8, 16)) == 8
+    assert pick_bucket(16, (8, 16)) == 16
+    assert pick_bucket(17, (8, 16)) == 24  # next multiple of 8
+
+
+def test_dataset_utils_roundtrip():
+    from chemeleon_tpu.chem.lattice import lattice_from_parameters
+    from chemeleon_tpu.chem.structure import Crystal
+    from chemeleon_tpu.data.dataset_utils import (
+        batch_to_crystal_list,
+        convert_reduced_composition,
+        crystals_to_batch,
+    )
+    rng = np.random.default_rng(0)
+    crystals = [Crystal(lattice_from_parameters(4, 5, 6, 90, 90, 90),
+                        rng.uniform(size=(n, 3)), rng.integers(1, 20, n))
+                for n in (3, 5)]
+    batch = crystals_to_batch(crystals, n_max=8)
+    back = batch_to_crystal_list(batch)
+    for a, b in zip(crystals, back):
+        np.testing.assert_array_equal(a.atom_types, b.atom_types)
+        np.testing.assert_allclose(a.frac_coords % 1.0, b.frac_coords,
+                                   atol=1e-6)
+    assert convert_reduced_composition("Li2O3Mn2") == "Li2 Mn2 O3"
