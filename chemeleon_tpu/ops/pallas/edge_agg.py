@@ -40,21 +40,25 @@ def _silu(x: jnp.ndarray) -> jnp.ndarray:
 def _kernel(term_i_ref, term_j_ref, base_ref, fourier_ref, jmask_ref,
             w_f_ref, w2_ref, b2_ref, out_ref, *, g: int, n: int, hidden: int):
     G, N, H = g, n, hidden
+    dt = w2_ref.dtype
     four = fourier_ref[:]                                    # [G, N, N, F]
     F = four.shape[-1]
     t1 = jnp.dot(four.reshape(G * N * N, F), w_f_ref[:],
                  preferred_element_type=jnp.float32)         # [G*N*N, H]
-    e = (t1.reshape(G, N, N, H)
-         + term_i_ref[:][:, :, None, :].astype(jnp.float32)
-         + term_j_ref[:][:, None, :, :].astype(jnp.float32)
-         + base_ref[:][:, None, :, :].astype(jnp.float32))   # base [G,1,H]
-    e = _silu(e.astype(w2_ref.dtype))                        # bf16 VPU
+    # elementwise chain in the compute dtype (matches the XLA path, which
+    # also adds/activates in bf16); matmuls accumulate f32 on the MXU
+    e = (t1.astype(dt).reshape(G, N, N, H)
+         + term_i_ref[:].astype(dt)[:, :, None, :]
+         + term_j_ref[:].astype(dt)[:, None, :, :]
+         + base_ref[:].astype(dt)[:, None, :, :])            # base [G,1,H]
+    e = _silu(e)
     e2 = jnp.dot(e.reshape(G * N * N, H), w2_ref[:],
                  preferred_element_type=jnp.float32)
-    e2 = e2 + b2_ref[0].astype(jnp.float32)
-    e2 = _silu(e2.astype(w2_ref.dtype))
-    e2 = e2.reshape(G, N, N, H).astype(jnp.float32)
-    agg = (e2 * jmask_ref[:][:, :, :, None]).sum(axis=2)     # [G, N, H]
+    e2 = _silu(e2.astype(dt) + b2_ref[0].astype(dt))
+    e2 = e2.reshape(G, N, N, H)
+    # j-reduction accumulates in f32
+    agg = (e2.astype(jnp.float32)
+           * jmask_ref[:][:, :, :, None]).sum(axis=2)        # [G, N, H]
     out_ref[:] = agg.astype(out_ref.dtype)
 
 

@@ -126,6 +126,18 @@ class Trainer:
                 params, opt_state, metrics = self._train_step(
                     params, opt_state, batch, self._raw_text(texts), step_key)
                 if global_step % 50 == 0:
+                    loss_val = float(metrics["loss"])
+                    # failure detection: a non-finite loss means the run is
+                    # poisoned — stop with a clear record instead of training
+                    # on garbage (the reference has no such guard, SURVEY §5)
+                    if not np.isfinite(loss_val):
+                        self.logger.log({"train/loss": loss_val,
+                                         "fatal": "non-finite loss"},
+                                        global_step)
+                        raise FloatingPointError(
+                            f"non-finite training loss at step {global_step} "
+                            f"(epoch {epoch}); last checkpoint: "
+                            f"{self.ckpt_dir / 'last'}")
                     self.logger.log(
                         {f"train/{k}": v for k, v in metrics.items()}
                         | {"lr": self.lr_sched.lr}, global_step)
