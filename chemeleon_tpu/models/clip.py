@@ -214,13 +214,18 @@ class _WordHashTokenizer:
                  max_length: Optional[int] = None, return_tensors="np"):
         import hashlib
         max_length = max_length or self.max_len
+        if self.vocab_size > 3000:  # BERT-like vocab: keep special-id range
+            cls_id, sep_id, lo = 101, 102, 2000
+        else:  # tiny vocab (tests / compact models)
+            cls_id, sep_id, lo = 1, 2, 3
+        span = max(1, self.vocab_size - lo)
         seqs = []
         for t in texts:
             words = t.split()[: max_length - 2]
-            ids = [101] + [
-                2000 + int.from_bytes(
-                    hashlib.sha1(w.encode()).digest()[:3], "little")
-                % (self.vocab_size - 3000) for w in words] + [102]
+            ids = [cls_id] + [
+                lo + int.from_bytes(
+                    hashlib.sha1(w.encode()).digest()[:3], "little") % span
+                for w in words] + [sep_id]
             seqs.append(ids)
         L = max(len(s) for s in seqs)
         input_ids = np.zeros((len(seqs), L), np.int32)

@@ -142,10 +142,30 @@ class HFTextBackend:
 
 
 def make_backend(text_encoder_name: str, text_embed_dim: int, max_text_len: int,
-                 backend: str = "auto") -> Callable[[List[str]], np.ndarray]:
+                 backend="auto") -> Callable[[List[str]], np.ndarray]:
+    if not isinstance(backend, str):
+        return backend  # pre-built backend instance (e.g. ClipCheckpointBackend)
     if backend == "hash":
         return HashTextBackend(text_embed_dim)
     if backend in ("hf", "auto"):
+        if text_encoder_name.startswith("chemeleon/"):
+            # trained Crystal-CLIP text tower (reference text_encoder.py:67-82,
+            # wandb artifact); look for a locally cached checkpoint
+            from pathlib import Path
+            from chemeleon_tpu.text.registry import ARTIFACT_PATHS
+            model_id = ARTIFACT_PATHS.get(text_encoder_name,
+                                          text_encoder_name).split("/")[-1]
+            for cand in (Path(".cache/artifacts") / model_id / "model.ckpt",):
+                if cand.exists():
+                    from chemeleon_tpu.text.clip_backend import (
+                        ClipCheckpointBackend,
+                    )
+                    return ClipCheckpointBackend(cand, max_text_len)
+            if backend == "hf":
+                raise RuntimeError(
+                    f"CLIP checkpoint for {text_encoder_name!r} not found in "
+                    f".cache/artifacts/{model_id}/model.ckpt")
+            return HashTextBackend(text_embed_dim)
         try:
             return HFTextBackend(text_encoder_name, max_text_len)
         except Exception as e:  # no local weights / unsupported arch

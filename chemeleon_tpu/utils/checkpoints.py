@@ -74,22 +74,21 @@ def load_pretrained(kind: str, text_backend: str = "auto",
     _check_tree_compatible(ref, params)
     model.params = params
 
-    # attach the CLIP text projection (text_encoder.py:180-182)
+    # attach the trained CLIP text tower + projection as the text backend
+    # (reference text_encoder.py:48-51, :180-182): the backend output is the
+    # clip-projected embedding that feeds the diffusion model's text_emb MLP
     if clip_extras is not None and model.text_encoder is not None:
-        from chemeleon_tpu.models.clip import CrystalClip  # noqa: F401
-        proj = clip_extras["projections"]["text_proj"]
-        from chemeleon_tpu.text.encoder import ProjectionMLP
-        import jax.numpy as jnp
-        mlp = ProjectionMLP(cfg.text_embed_dim, cfg.clip_dim)
-        proj_params = {"params": proj["params"]["text_proj"]}
-        model.text_encoder.clip_apply = (
-            lambda raw: mlp.apply(proj_params, raw))
+        from chemeleon_tpu.text.clip_backend import ClipCheckpointBackend
+        model.text_encoder.backend = ClipCheckpointBackend(
+            clip_path, max_text_len=cfg.max_text_len)
+        model.text_encoder.clip_apply = None
     return model
 
 
 def _check_tree_compatible(ref, got) -> None:
-    ref_shapes = jax.tree.map(lambda x: x.shape, ref)
-    got_shapes = jax.tree.map(lambda x: tuple(x.shape), got)
+    # map shapes to strings so tree_flatten doesn't descend into the tuples
+    ref_shapes = jax.tree.map(lambda x: str(tuple(x.shape)), ref)
+    got_shapes = jax.tree.map(lambda x: str(tuple(x.shape)), got)
     rf = jax.tree_util.tree_flatten_with_path(ref_shapes)[0]
     gf = jax.tree_util.tree_flatten_with_path(got_shapes)[0]
     ref_map = {jax.tree_util.keystr(k): v for k, v in rf}
@@ -97,7 +96,7 @@ def _check_tree_compatible(ref, got) -> None:
     missing = set(ref_map) - set(got_map)
     extra = set(got_map) - set(ref_map)
     bad = {k: (ref_map[k], got_map[k]) for k in set(ref_map) & set(got_map)
-           if tuple(ref_map[k]) != tuple(got_map[k])}
+           if ref_map[k] != got_map[k]}
     if missing or extra or bad:
         raise ValueError(
             f"checkpoint tree mismatch:\n missing={sorted(missing)[:8]}\n "

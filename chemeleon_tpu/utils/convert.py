@@ -112,11 +112,14 @@ def convert_text_conditioner_state_dict(sd: Dict,
 
 
 def convert_clip_projections(sd: Dict) -> Dict[str, Any]:
-    """CrystalClip projection heads (crystal_clip.py:62-73)."""
-    return {
+    """CrystalClip projection heads (crystal_clip.py:62-73). The graph head
+    is optional (absent from text-only exports)."""
+    out = {
         "text_proj": {"params": {"text_proj": _projection_mlp(sd, "text_proj")}},
-        "graph_proj": _projection_mlp(sd, "graph_proj"),
     }
+    if "graph_proj.0.weight" in sd:
+        out["graph_proj"] = _projection_mlp(sd, "graph_proj")
+    return out
 
 
 def load_lightning_state_dict(path: str | Path) -> Tuple[Dict, Dict]:

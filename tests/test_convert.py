@@ -85,3 +85,76 @@ def test_roundtrip_through_lightning_ckpt(tmp_path):
         np.testing.assert_array_equal(ca.atom_types, cb.atom_types)
         np.testing.assert_allclose(ca.frac_coords, cb.frac_coords, atol=1e-6)
     assert "sigma_scheduler.sigmas_norm" in buffers
+
+
+def _fake_clip_ckpt(tmp_path, hidden=128, clip_dim=24, vocab=200):
+    """Synthetic CrystalClip Lightning checkpoint with a real torch BERT."""
+    from transformers import BertConfig, BertModel
+    import torch.nn as nn
+    # head_dim=64 convention so the backend's shape-based config
+    # reconstruction is exact
+    cfg = BertConfig(vocab_size=vocab, hidden_size=hidden,
+                     num_hidden_layers=2, num_attention_heads=hidden // 64,
+                     intermediate_size=2 * hidden,
+                     max_position_embeddings=64)
+    bert = BertModel(cfg)
+    proj = nn.Sequential(nn.Linear(hidden, hidden), nn.LayerNorm(hidden),
+                         nn.GELU(), nn.Linear(hidden, clip_dim))
+    sd = {}
+    for k, v in bert.state_dict().items():
+        sd[f"text_encoder.{k}"] = v
+    for k, v in proj.state_dict().items():
+        sd[f"text_proj.{k}"] = v
+    path = tmp_path / "clip.ckpt"
+    torch.save({"state_dict": sd,
+                "hyper_parameters": {"text_encoder": "nonexistent/model"}},
+               path)
+    return path, bert, proj
+
+
+def test_clip_checkpoint_backend(tmp_path):
+    from chemeleon_tpu.text.clip_backend import ClipCheckpointBackend
+    path, bert, proj = _fake_clip_ckpt(tmp_path)
+    bert.eval()  # disable dropout for the oracle comparison
+    proj.eval()
+    backend = ClipCheckpointBackend(path, max_text_len=32)
+    emb = backend(["TiO2 crystal", "LiMnO4 orthorhombic"])
+    assert emb.shape == (2, 24)
+    assert np.isfinite(emb).all()
+    # the tower weights were actually loaded: compare against direct torch
+    tok = backend.tokenizer(["TiO2 crystal"], padding="longest",
+                            truncation=True, max_length=32,
+                            return_tensors="np")
+    with torch.no_grad():
+        out = bert(input_ids=torch.tensor(tok["input_ids"], dtype=torch.long),
+                   attention_mask=torch.tensor(tok["attention_mask"],
+                                               dtype=torch.long))
+        want = proj(out.last_hidden_state[:, 0, :]).numpy()
+    np.testing.assert_allclose(emb[:1], want, atol=1e-5)
+
+
+def test_load_pretrained_end_to_end(tmp_path):
+    """Full pretrained-loading path with synthetic reference checkpoints:
+    diffusion ckpt + CLIP ckpt -> sampling model with trained text tower."""
+    from chemeleon_tpu.utils.checkpoints import load_pretrained
+
+    # CLIP ckpt with clip_dim == text_embed_dim of the diffusion config
+    clip_path, _, _ = _fake_clip_ckpt(tmp_path, hidden=128, clip_dim=32)
+
+    cfg = get_config(None, **TINY)  # text_embed_dim=32
+    model = Chemeleon(cfg, text_backend="hash")
+    params = model.init_params(jax.random.PRNGKey(0))
+    sd = {k: torch.tensor(v) for k, v in decoder_params_to_state_dict(
+        params["decoder"], ln=cfg.ln, smooth=cfg.smooth).items()}
+    sd.update(_text_params_to_state_dict(params["text"]))
+    sd["sigma_scheduler.sigmas"] = torch.tensor(
+        np.asarray(model.sched.sigma.sigmas))
+    sd["sigma_scheduler.sigmas_norm"] = torch.tensor(
+        np.asarray(model.sched.sigma.sigmas_norm))
+    dft = tmp_path / "chemeleon.ckpt"
+    torch.save({"state_dict": sd, "hyper_parameters": cfg.to_dict()}, dft)
+
+    model2 = load_pretrained("general_text", path_ckpt=str(dft),
+                             path_ckpt_clip=str(clip_path))
+    crystals = model2.sample("TiO2 crystal", 4, 2, key=jax.random.PRNGKey(1))
+    assert len(crystals) == 2 and len(crystals[0]) == 4
