@@ -123,13 +123,11 @@ def cli_sample_prompt(text_input, n_atoms, n_samples, save_dir):
 def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
                  max_rows):
     from chemeleon_tpu.eval.evaluate import test_evaluate
-    from chemeleon_tpu.utils.checkpoints import load_pretrained
+    from chemeleon_tpu.models.chemeleon import Chemeleon
 
-    if model_path.endswith(".ckpt"):
-        model = load_pretrained("general_text", path_ckpt=model_path)
-    else:
-        raise click.UsageError(
-            "pass a reference .ckpt (conversion happens automatically)")
+    # .ckpt files are reference Lightning checkpoints (converted on the fly);
+    # directories are this framework's orbax checkpoints
+    model = Chemeleon.load_from_checkpoint(model_path)
     test_evaluate(model, test_data=test_data, n_samples=n_samples,
                   cond_scale=cond_scale, save_path=save_path,
                   max_rows=max_rows)

@@ -1,0 +1,88 @@
+"""Real-data training smoke: train a compact model on real mp-40 rows.
+
+The upstream train/val CSVs are LFS-missing (SURVEY §2.4); this script splits
+the available 708-row test.csv into train/val/test, trains a compact
+Chemeleon for a few epochs on the TPU, and reports the val-loss trajectory +
+a small evaluation — end-to-end evidence that the pipeline learns on real
+chemistry.
+
+Usage: python -m chemeleon_tpu.scripts.smoke_train \
+           --source /root/reference/data/mp-40/test.csv --epochs 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+from pathlib import Path
+
+
+def split_csv(source: str, out_dir: str, val_frac: float = 0.08,
+              test_frac: float = 0.08, seed: int = 0) -> None:
+    import random
+    csv.field_size_limit(10 ** 9)
+    with open(source) as f:
+        rows = list(csv.DictReader(f))
+    rng = random.Random(seed)
+    rng.shuffle(rows)
+    n = len(rows)
+    n_val = max(1, int(n * val_frac))
+    n_test = max(1, int(n * test_frac))
+    splits = {"val": rows[:n_val], "test": rows[n_val:n_val + n_test],
+              "train": rows[n_val + n_test:]}
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for split, rr in splits.items():
+        with open(out / f"{split}.csv", "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rr)
+    print({k: len(v) for k, v in splits.items()})
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", default="/root/reference/data/mp-40/test.csv")
+    ap.add_argument("--data-dir", default=".data_cache/mp40-smoke")
+    ap.add_argument("--log-dir", default="logs")
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--eval-rows", type=int, default=8)
+    ap.add_argument("--eval-samples", type=int, default=8)
+    args = ap.parse_args()
+
+    if not (Path(args.data_dir) / "train.csv").exists():
+        split_csv(args.source, args.data_dir)
+
+    from chemeleon_tpu.config import get_config
+    from chemeleon_tpu.train.trainer import Trainer
+
+    cfg = get_config(
+        "chemeleon_bert_composition",
+        exp_name="mp40_smoke", data_dir=args.data_dir, log_dir=args.log_dir,
+        hidden_dim=args.hidden, num_layers=args.layers, num_freqs=64,
+        time_dim=64, text_dim=128, text_embed_dim=128, batch_size=args.batch,
+        lr=3e-4, scheduler="constant", early_stopping=10 ** 6,
+        max_epochs=args.epochs)
+    trainer = Trainer(cfg, text_backend="hash")
+    result = trainer.fit()
+    losses = [h["val/loss"] for h in result["history"]]
+    print(json.dumps({"val_loss_first": losses[0], "val_loss_last": losses[-1],
+                      "val_loss_best": min(losses), "epochs": len(losses)}))
+
+    # quick evaluation on a few held-out rows
+    from chemeleon_tpu.eval.evaluate import test_evaluate
+    means = test_evaluate(trainer.model,
+                          test_data=Path(args.data_dir) / "test.csv",
+                          n_samples=args.eval_samples,
+                          max_rows=args.eval_rows,
+                          save_path=Path(args.log_dir) / "mp40_smoke_eval",
+                          progress=False)
+    print(json.dumps(means))
+
+
+if __name__ == "__main__":
+    main()
