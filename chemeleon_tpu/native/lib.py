@@ -14,7 +14,7 @@ import numpy as np
 
 _SRC = Path(__file__).with_name("chemtpu_native.cpp")
 _SO = Path(os.environ.get("CHEMELEON_TPU_NATIVE_SO",
-                          _SRC.with_suffix(".so")))
+                          _SRC.with_name("libchemtpu.so")))
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _failed = False
