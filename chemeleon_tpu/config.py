@@ -112,6 +112,8 @@ class ChemeleonConfig:
     compute_dtype: str = "float32"
     # Use the fused Pallas edge-aggregation kernel on TPU when available.
     use_pallas: bool = False
+    # Rematerialize CSP layers during training (memory for FLOPs).
+    remat: bool = False
     # Trajectory snapshot stride inside the compiled sampler (1 = every step).
     trajectory_stride: int = 1
 

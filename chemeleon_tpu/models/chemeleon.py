@@ -78,7 +78,7 @@ def build_decoder(cfg: ChemeleonConfig, use_pallas: bool = False) -> CSPNet:
         cutoff=cfg.cutoff, max_neighbors=cfg.max_neighbors, ln=cfg.ln,
         ip=cfg.ip, smooth=cfg.smooth, pred_atom_types=cfg.pred_atom_types,
         dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, remat=cfg.remat and not use_pallas)
 
 
 # ---------------------------------------------------------------------------

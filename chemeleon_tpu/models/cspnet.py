@@ -257,6 +257,9 @@ class CSPNet(nn.Module):
     pred_atom_types: bool = True
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False  # fused edge kernel (inference path)
+    remat: bool = False       # rematerialize CSP layers (training memory:
+    #                           drops the [RB, N, N, H] edge activations and
+    #                           recomputes them in the backward pass)
 
     @nn.compact
     def __call__(self, atom_types: jnp.ndarray, frac_coords: jnp.ndarray,
@@ -331,12 +334,13 @@ class CSPNet(nn.Module):
                           name="film_layer", dtype=dt)
                 if (self.time_dim > 0 or self.text_dim > 0) else None)
 
+        layer_cls = nn.remat(CSPLayer) if self.remat else CSPLayer
         for i in range(self.num_layers):
             if cond is not None and film is not None:
                 h = film(h, cond)
-            h = CSPLayer(self.hidden_dim, dis_dim, ln=self.ln, ip=self.ip,
-                         name=f"csp_layer_{i}", dtype=dt,
-                         use_pallas=self.use_pallas)(
+            h = layer_cls(self.hidden_dim, dis_dim, ln=self.ln, ip=self.ip,
+                          name=f"csp_layer_{i}", dtype=dt,
+                          use_pallas=self.use_pallas)(
                 h, fourier_ij, lat_ip_flat, pair_mask, mask,
                 neighbors=neighbors)
 

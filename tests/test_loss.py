@@ -74,3 +74,26 @@ def test_loss_jits(model):
     jitted = jax.jit(lambda p, b, r, k: model.loss(p, b, r, k)[0])
     v = jitted(model.params, batch, raw, jax.random.PRNGKey(1))
     assert np.isfinite(float(v))
+
+
+def test_remat_grads_match():
+    """Rematerialized CSP layers must give identical loss and gradients."""
+    from chemeleon_tpu.config import get_config
+    cfg = get_config(None, **TINY)
+    cfg_r = cfg.replace(remat=True)
+    m = Chemeleon(cfg, text_backend="hash")
+    m_r = Chemeleon(cfg_r, text_backend="hash")
+    params = m.init_params(jax.random.PRNGKey(0))
+    m_r.params = params
+    batch = make_batch([5, 3])
+    raw = jnp.asarray(m.text_encoder.backend(["a", "b"]))
+    key = jax.random.PRNGKey(2)
+
+    l1, g1 = jax.value_and_grad(lambda p: m.loss(p, batch, raw, key)[0])(params)
+    l2, g2 = jax.value_and_grad(lambda p: m_r.loss(p, batch, raw, key)[0])(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for (k1, a), (k2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g1)[0],
+            jax.tree_util.tree_flatten_with_path(g2)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(k1))
