@@ -140,5 +140,39 @@ def cli_bench():
     subprocess.run([sys.executable, "bench.py"], check=True)
 
 
+@cli.command(name="serve", help="Start the streaming inference server.")
+@click.option("--port", default=8000, show_default=True)
+@click.option("--host", default="0.0.0.0", show_default=True)
+@click.option("--stream-chunk", default=100, show_default=True,
+              help="Diffusion steps per streamed update.")
+@click.option("--model-kind", default="general_text", show_default=True,
+              type=click.Choice(["general_text", "composition"]))
+def cli_serve(port, host, stream_chunk, model_kind):
+    from chemeleon_tpu.serve.server import ChemeleonServer
+    ChemeleonServer(host=host, port=port, stream_chunk=stream_chunk,
+                    model_kind=model_kind).run()
+
+
+@cli.command(name="optimize",
+             help="Relax generated CIFs with FIRE (MACE when installed, "
+                  "soft-sphere surrogate otherwise).")
+@click.option("--cif-dir", "-i", required=True,
+              help="Directory of .cif files to relax.")
+@click.option("--save-dir", "-s", default="results/optimized",
+              show_default=True)
+@click.option("--fmax", default=0.05, show_default=True)
+@click.option("--steps", default=200, show_default=True)
+def cli_optimize(cif_dir, save_dir, fmax, steps):
+    from pathlib import Path
+    from chemeleon_tpu.chem.structure import Crystal
+    from chemeleon_tpu.eval.optimize import optimize_atoms_list
+    crystals = [Crystal.from_cif(p.read_text())
+                for p in sorted(Path(cif_dir).glob("*.cif"))]
+    if not crystals:
+        raise click.UsageError(f"no .cif files in {cif_dir}")
+    out = optimize_atoms_list(crystals, save_dir, fmax=fmax, steps=steps)
+    print(f"relaxed {sum(o is not None for o in out)}/{len(out)} -> {save_dir}")
+
+
 if __name__ == "__main__":
     cli()

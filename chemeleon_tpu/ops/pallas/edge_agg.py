@@ -101,7 +101,9 @@ def fused_edge_aggregate(term_i: jnp.ndarray, term_j: jnp.ndarray,
     G = _pick_g(N, B, F, H)
     BG = B // G
 
-    grid = (R, BG)
+    # grid order (b outer, r inner): consecutive steps over r share the same
+    # fourier/base/jmask blocks, so the pipeline skips their re-fetch
+    grid = (BG, R)
     kernel = functools.partial(_kernel, g=G, n=N, hidden=H)
     b2_2d = b2.reshape(1, H)
     jmask_3d = jmask.reshape(B, 1, N)
@@ -111,24 +113,24 @@ def fused_edge_aggregate(term_i: jnp.ndarray, term_j: jnp.ndarray,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((G, N, H), lambda r, b: (r * BG + b, 0, 0),
+            pl.BlockSpec((G, N, H), lambda b, r: (r * BG + b, 0, 0),
                          memory_space=pltpu.VMEM),           # term_i
-            pl.BlockSpec((G, N, H), lambda r, b: (r * BG + b, 0, 0),
+            pl.BlockSpec((G, N, H), lambda b, r: (r * BG + b, 0, 0),
                          memory_space=pltpu.VMEM),           # term_j
-            pl.BlockSpec((G, 1, H), lambda r, b: (b, 0, 0),
+            pl.BlockSpec((G, 1, H), lambda b, r: (b, 0, 0),
                          memory_space=pltpu.VMEM),           # base
-            pl.BlockSpec((G, N, N, F), lambda r, b: (b, 0, 0, 0),
+            pl.BlockSpec((G, N, N, F), lambda b, r: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),           # fourier
-            pl.BlockSpec((G, 1, N), lambda r, b: (b, 0, 0),
+            pl.BlockSpec((G, 1, N), lambda b, r: (b, 0, 0),
                          memory_space=pltpu.VMEM),           # jmask
-            pl.BlockSpec((F, H), lambda r, b: (0, 0),
+            pl.BlockSpec((F, H), lambda b, r: (0, 0),
                          memory_space=pltpu.VMEM),           # w_f
-            pl.BlockSpec((H, H), lambda r, b: (0, 0),
+            pl.BlockSpec((H, H), lambda b, r: (0, 0),
                          memory_space=pltpu.VMEM),           # w2
-            pl.BlockSpec((1, H), lambda r, b: (0, 0),
+            pl.BlockSpec((1, H), lambda b, r: (0, 0),
                          memory_space=pltpu.VMEM),           # b2
         ],
-        out_specs=pl.BlockSpec((G, N, H), lambda r, b: (r * BG + b, 0, 0),
+        out_specs=pl.BlockSpec((G, N, H), lambda b, r: (r * BG + b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((RB, N, H), term_i.dtype),
         interpret=interpret,
