@@ -61,14 +61,20 @@ class ChemeleonServer:
         chunk = self.stream_chunk
         if total % chunk != 0:
             chunk = 1
-        with self._lock:
-            gen = self.model.sample(req["text_input"], req["n_atoms"],
-                                    req["n_samples"], stream=True,
-                                    stream_chunk=chunk)
-            t = total
-            for crystals in gen:
-                t -= chunk
-                yield crystals_to_payload(crystals, step=t)
+        gen = self.model.sample(req["text_input"], req["n_atoms"],
+                                req["n_samples"], stream=True,
+                                stream_chunk=chunk)
+        t = total
+        while True:
+            # hold the device lock per CHUNK, not per request: concurrent
+            # client streams interleave their compiled scans fairly
+            with self._lock:
+                try:
+                    crystals = next(gen)
+                except StopIteration:
+                    return
+            t -= chunk
+            yield crystals_to_payload(crystals, step=t)
 
     # -- http plumbing ----------------------------------------------------------
     def make_handler(server_self):
