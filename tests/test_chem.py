@@ -158,3 +158,64 @@ def test_structure_validity():
     huge = Crystal(lattice_from_parameters(70, 4, 4, 90, 90, 90),
                    [[0, 0, 0]], [11])
     assert not structure_validity(huge)
+
+
+def test_parse_cif_with_symmetry_ops():
+    """Non-P1 CIF: sites expand through the symmetry operations with
+    deduplication of coincident positions."""
+    cif = """
+data_test
+_cell_length_a 4.0
+_cell_length_b 4.0
+_cell_length_c 4.0
+_cell_angle_alpha 90.0
+_cell_angle_beta 90.0
+_cell_angle_gamma 90.0
+loop_
+ _symmetry_equiv_pos_site_id
+ _symmetry_equiv_pos_as_xyz
+  1  'x, y, z'
+  2  '-x, -y, -z'
+  3  'x+1/2, y+1/2, z'
+  4  '-x+1/2, -y+1/2, -z'
+loop_
+ _atom_site_type_symbol
+ _atom_site_label
+ _atom_site_fract_x
+ _atom_site_fract_y
+ _atom_site_fract_z
+  Na  Na0  0.1  0.2  0.3
+"""
+    c = parse_cif(cif)
+    assert len(c) == 4  # orbit of a general position under 4 ops
+    assert set(c.atom_types.tolist()) == {11}
+    got = sorted(tuple(np.round(x, 4)) for x in c.frac_coords)
+    want = sorted([(0.1, 0.2, 0.3), (0.9, 0.8, 0.7),
+                   (0.6, 0.7, 0.3), (0.4, 0.3, 0.7)])
+    assert got == want
+
+
+def test_parse_cif_special_position_dedup():
+    cif = """
+data_t
+_cell_length_a 4.0
+_cell_length_b 4.0
+_cell_length_c 4.0
+_cell_angle_alpha 90.0
+_cell_angle_beta 90.0
+_cell_angle_gamma 90.0
+loop_
+ _symmetry_equiv_pos_site_id
+ _symmetry_equiv_pos_as_xyz
+  1  'x, y, z'
+  2  '-x, -y, -z'
+loop_
+ _atom_site_type_symbol
+ _atom_site_label
+ _atom_site_fract_x
+ _atom_site_fract_y
+ _atom_site_fract_z
+  Fe  Fe0  0.0  0.0  0.0
+"""
+    c = parse_cif(cif)
+    assert len(c) == 1  # special position maps to itself
