@@ -35,9 +35,11 @@ def main():
     # shapes (18.7 vs 14.6 structs/s: XLA's epilogue fusion on the large flat
     # matmuls wins); flip with BENCH_PALLAS=1 to measure the kernel.
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    edge_style = os.environ.get("BENCH_EDGE", "fc")  # fc | knn
 
     cfg = get_config(None, timesteps=timesteps, compute_dtype=compute_dtype,
-                     pad_buckets=(n_atoms,), use_pallas=use_pallas)
+                     pad_buckets=(n_atoms,), use_pallas=use_pallas,
+                     edge_style=edge_style)
     model = Chemeleon(cfg, text_backend="hash")
     model.init_params(jax.random.PRNGKey(0))
 
