@@ -60,23 +60,32 @@ class Trainer:
     # -- checkpointing (orbax; reference ModelCheckpoint run.py:47-53) -------
     def save_checkpoint(self, tag: str, params, opt_state, epoch: int,
                         global_step: int, val_loss: float) -> None:
+        """Save params AND optimizer state (exact-resume parity with
+        Lightning's full training-state checkpoints, run.py:47-53)."""
         path = (self.ckpt_dir / tag).absolute()
         if path.exists():
             shutil.rmtree(path)
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path / "params", params)
         ckptr.wait_until_finished()
+        if opt_state is not None:
+            ckptr.save(path / "opt_state", opt_state)
+            ckptr.wait_until_finished()
         meta = {"epoch": epoch, "global_step": global_step,
                 "val_loss": float(val_loss), "config": self.cfg.to_dict()}
         with open(path / "meta.json", "w") as f:
             json.dump(meta, f, default=str)
 
-    def load_checkpoint(self, path: str, params_like):
+    def load_checkpoint(self, path: str, params_like, opt_state_like=None):
         ckptr = ocp.StandardCheckpointer()
         params = ckptr.restore(Path(path).absolute() / "params", params_like)
         with open(Path(path) / "meta.json") as f:
             meta = json.load(f)
-        return params, meta
+        opt_state = None
+        if opt_state_like is not None and (Path(path) / "opt_state").exists():
+            opt_state = ckptr.restore(Path(path).absolute() / "opt_state",
+                                      opt_state_like)
+        return params, meta, opt_state
 
     # -- loops -----------------------------------------------------------------
     def _raw_text(self, texts):
@@ -105,14 +114,17 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.seed)
         params = self.model.init_params(key)
         start_epoch = 0
+        restored_opt = None
         if resume_from or cfg.resume_from:
-            params, meta = self.load_checkpoint(resume_from or cfg.resume_from,
-                                                params)
+            params, meta, restored_opt = self.load_checkpoint(
+                resume_from or cfg.resume_from, params,
+                opt_state_like=self.tx.init(params))
             start_epoch = meta["epoch"] + 1
         if self.mesh is not None:
             params = shard_params(self.mesh, params)
         self.model.params = params
-        opt_state = self.tx.init(params)
+        opt_state = restored_opt if restored_opt is not None \
+            else self.tx.init(params)
 
         best_val = float("inf")
         global_step = 0

@@ -93,3 +93,18 @@ def test_cond_scale_changes_output(model):
     a = model.sample("TiO2", 4, 1, cond_scale=2.0, key=jax.random.PRNGKey(9))
     b = model.sample("TiO2", 4, 1, cond_scale=0.0, key=jax.random.PRNGKey(9))
     assert not np.allclose(a[0].frac_coords, b[0].frac_coords)
+
+
+def test_baseline_config1_smoke(model):
+    """BASELINE.json config #1 shape: prompt-mode, 3 samples x 6 atoms
+    (the reference CLI default: `chemeleon sample prompt -t ... --n-atoms 6
+    --n-samples 3`, BASELINE.md) — CPU-runnable end-to-end smoke."""
+    crystals = model.sample(
+        "A Crystal Structure of LiMnO4 with orthorhombic symmetry",
+        n_atoms=6, n_samples=3, cond_scale=2.0, step_lr=1e-5,
+        key=jax.random.PRNGKey(42))
+    assert len(crystals) == 3
+    for c in crystals:
+        assert len(c) == 6
+        cif = c.to_cif()
+        assert "_cell_length_a" in cif and cif.count("  1") >= 6

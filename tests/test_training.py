@@ -130,3 +130,23 @@ def test_clip_trainable_hf_tower(data_dir, tmp_path):
     assert raw.shape == (2, cfg.text_embed_dim)
     loss = clip.loss(params, batch, raw)
     assert np.isfinite(float(loss))
+
+
+def test_resume_restores_optimizer_state(data_dir, tmp_path):
+    """Exact-resume: optimizer state round-trips through the checkpoint."""
+    import jax
+    from chemeleon_tpu.train.trainer import Trainer
+    cfg = get_config("chemeleon_bert_prompt", data_dir=data_dir,
+                     log_dir=str(tmp_path / "logs2"), **TINY)
+    tr = Trainer(cfg, text_backend="hash")
+    tr.fit(max_epochs=1)
+    like_params = tr.model.init_params(jax.random.PRNGKey(0))
+    like_opt = tr.tx.init(like_params)
+    params, meta, opt_state = tr.load_checkpoint(
+        str(tr.ckpt_dir / "last"), like_params, opt_state_like=like_opt)
+    assert opt_state is not None
+    # adam moments must be non-zero after a training epoch
+    total = sum(float(np.abs(np.asarray(x)).sum())
+                for x in jax.tree.leaves(opt_state)
+                if hasattr(x, "shape") and getattr(x, "size", 0) > 1)
+    assert total > 0
