@@ -38,16 +38,27 @@ def _silu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kernel(term_i_ref, term_j_ref, base_ref, fourier_ref, jmask_ref,
-            w_f_ref, w2_ref, b2_ref, out_ref, *, g: int, n: int, hidden: int):
+            w_f_ref, w2_ref, b2_ref, out_ref, t1_scratch, *, g: int, n: int,
+            hidden: int):
     G, N, H = g, n, hidden
     dt = w2_ref.dtype
-    four = fourier_ref[:]                                    # [G, N, N, F]
-    F = four.shape[-1]
-    t1 = jnp.dot(four.reshape(G * N * N, F), w_f_ref[:],
-                 preferred_element_type=jnp.float32)         # [G*N*N, H]
+    r = pl.program_id(1)
+
+    # The Fourier matmul depends only on geometry (graph b), not on the
+    # conditioning replica r. Grid order is (b outer, r inner), so compute it
+    # once at r == 0 into persistent VMEM scratch and reuse for the other
+    # replicas — the same CFG geometry sharing the XLA path gets for free.
+    @pl.when(r == 0)
+    def _():
+        four = fourier_ref[:]                                # [G, N, N, F]
+        F = four.shape[-1]
+        t1_scratch[:] = jnp.dot(
+            four.reshape(G * N * N, F), w_f_ref[:],
+            preferred_element_type=jnp.float32).astype(dt)
+
     # elementwise chain in the compute dtype (matches the XLA path, which
     # also adds/activates in bf16); matmuls accumulate f32 on the MXU
-    e = (t1.astype(dt).reshape(G, N, N, H)
+    e = (t1_scratch[:].reshape(G, N, N, H)
          + term_i_ref[:].astype(dt)[:, :, None, :]
          + term_j_ref[:].astype(dt)[:, None, :, :]
          + base_ref[:].astype(dt)[:, None, :, :])            # base [G,1,H]
@@ -133,5 +144,6 @@ def fused_edge_aggregate(term_i: jnp.ndarray, term_j: jnp.ndarray,
         out_specs=pl.BlockSpec((G, N, H), lambda b, r: (r * BG + b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((RB, N, H), term_i.dtype),
+        scratch_shapes=[pltpu.VMEM((G * N * N, H), w2.dtype)],
         interpret=interpret,
     )(term_i, term_j, base_3d, fourier, jmask_3d, w_f, w2, b2_2d)
