@@ -290,10 +290,13 @@ class CSPNet(nn.Module):
         else:
             fourier_ij = frac_diff
             dis_dim = 3
-        # NOTE: fourier stays f32 here; each layer casts at the matmul read
-        # (XLA fuses the convert). An explicit up-front bf16 cast was
-        # measured SLOWER (17.6 vs 18.7 structs/s) — it materializes an
-        # extra copy instead of fusing.
+        # Fourier storage dtype, size-gated by measurement: at small N the
+        # per-layer fused convert wins (explicit bf16 cast measured 17.6 vs
+        # 18.7 structs/s @ N=16 — it materializes an extra copy); at large N
+        # the [B, N, N, F] f32 reads dominate (~4.6 ms/step @ N=40), so
+        # storing bf16 halves the hot-loop traffic.
+        if N >= 24:
+            fourier_ij = fourier_ij.astype(dt)
 
         # Lattice inner products, flattened per graph (cspnet.py:144-149).
         if self.ip:
