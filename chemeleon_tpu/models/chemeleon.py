@@ -353,16 +353,21 @@ class Chemeleon:
 
     # -- training loss -------------------------------------------------------
     def loss(self, params: Dict[str, Any], batch: CrystalBatch,
-             raw_text: Optional[jnp.ndarray], key: jax.Array):
-        """Jit-friendly loss. ``raw_text``: [B, text_embed_dim] backend
-        embeddings (host-computed) or None when unguided."""
+             raw_text, key: jax.Array):
+        """Jit-friendly loss. ``raw_text`` is ``text_encoder.text_inputs``
+        output: [B, text_embed_dim] backend embeddings (frozen encoder),
+        (input_ids, attention_mask) tokens when ``trainable_text_encoder``
+        (the tower forward then runs here, under grad — reference
+        text_encoder.py:36-46), or None when unguided."""
         text_embeds = None
         k_drop, k_loss = jax.random.split(key)
         if self.cfg.text_guide:
             keep = prob_mask_like(k_drop, (batch.batch_size,),
                                   1.0 - self.cfg.cond_drop_prob)
-            text_embeds = self.text_encoder.conditioner.apply(
-                params["text"], raw_text, keep)
+            te = self.text_encoder
+            raw = te.raw_embeds_in_loss(params["text"], raw_text)
+            text_embeds = te.conditioner.apply(
+                te.conditioner_params(params["text"]), raw, keep)
         return diffusion_loss(params["decoder"], self.decoder, self.sched,
                               self.cfg, batch, text_embeds, k_loss)
 

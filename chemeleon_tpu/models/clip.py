@@ -32,6 +32,7 @@ from chemeleon_tpu.config import ChemeleonConfig
 from chemeleon_tpu.models.cspnet import CSPNet
 from chemeleon_tpu.ops.graph import CrystalBatch, masked_mean_nodes, masked_sum_nodes
 from chemeleon_tpu.text.encoder import HashTextBackend, ProjectionMLP
+from chemeleon_tpu.text.tower import TrainableTextTower
 
 
 class GraphTower(nn.Module):
@@ -105,7 +106,9 @@ class CrystalClip:
         self.hf = None
         if text_backend in ("hf", "auto"):
             try:
-                self.hf = _HFTrainableTower(cfg)
+                self.hf = TrainableTextTower(cfg.text_encoder,
+                                             cfg.text_embed_dim,
+                                             cfg.max_text_len)
                 self.backend_kind = "hf"
             except Exception:
                 if text_backend == "hf":
@@ -132,6 +135,15 @@ class CrystalClip:
         return params
 
     # -- towers -----------------------------------------------------------------
+    def text_inputs(self, texts: List[str]):
+        """Host-side text preprocessing for ``loss``: token arrays
+        (input_ids, attention_mask) when the tower is trainable, else the
+        frozen backend embeddings. Either way the result is a pytree of
+        arrays safe to pass through a jitted step."""
+        if self.hf is not None:
+            return self.hf.tokenize(texts)
+        return jnp.asarray(self.hash_backend(list(texts)))
+
     def encode_text_raw(self, params, texts: List[str]) -> jnp.ndarray:
         """Tower output before the CLIP projection: [B, text_embed_dim]."""
         if self.hf is not None:
@@ -146,10 +158,19 @@ class CrystalClip:
         return self.graph_tower.apply(params["graph"], batch)
 
     # -- loss --------------------------------------------------------------------
-    def loss(self, params, batch: CrystalBatch,
-             raw_text: jnp.ndarray) -> jnp.ndarray:
-        """Jit-friendly: ``raw_text`` is the host-encoded tower output (hash
-        backend) or recomputed inside when the tower is trainable."""
+    def loss(self, params, batch: CrystalBatch, text_input) -> jnp.ndarray:
+        """Jit-friendly. ``text_input`` is the output of ``text_inputs``:
+        (input_ids, attention_mask) tokens when the tower is trainable — the
+        tower forward then runs INSIDE this (differentiated) function, so
+        ``jax.grad`` reaches ``params["text_tower"]`` (reference
+        crystal_clip.py:82-96, 172-177) — or pre-computed [B, D] embeddings
+        for the frozen hash backend."""
+        if self.hf is not None:
+            input_ids, attention_mask = text_input
+            raw_text = self.hf.apply(params["text_tower"], input_ids,
+                                     attention_mask)
+        else:
+            raw_text = text_input
         text = self.text_head.apply(params["text_proj"], raw_text)
         graph = self.get_graph_embeds(params, batch)
         return contrastive_loss(text, graph, self.cfg.label_smoothing)
@@ -165,72 +186,5 @@ class CrystalClip:
         return apply
 
 
-class _HFTrainableTower:
-    """Trainable Flax BERT tower. Loads local weights when present; otherwise
-    random-inits a small BERT config (zero-egress environments)."""
-
-    def __init__(self, cfg: ChemeleonConfig):
-        from transformers import AutoTokenizer, FlaxBertModel, BertConfig
-        self.cfg = cfg
-        try:
-            self.tokenizer = AutoTokenizer.from_pretrained(
-                cfg.text_encoder, local_files_only=True)
-            self.model = FlaxBertModel.from_pretrained(
-                cfg.text_encoder, local_files_only=True)
-            self._random = False
-        except Exception:
-            # no local weights: random-init a compact BERT so the full
-            # trainable-tower path still exercises end-to-end
-            bc = BertConfig(vocab_size=30522, hidden_size=cfg.text_embed_dim,
-                            num_hidden_layers=2, num_attention_heads=4,
-                            intermediate_size=2 * cfg.text_embed_dim,
-                            max_position_embeddings=cfg.max_text_len)
-            self.model = FlaxBertModel(bc)
-            self.tokenizer = _WordHashTokenizer(bc.vocab_size,
-                                                cfg.max_text_len)
-            self._random = True
-
-    def init_params(self, key: jax.Array):
-        return self.model.params
-
-    def encode(self, tower_params, texts: List[str]) -> jnp.ndarray:
-        tok = self.tokenizer(list(texts), padding="longest", truncation=True,
-                             max_length=self.cfg.max_text_len,
-                             return_tensors="np")
-        out = self.model(input_ids=tok["input_ids"],
-                         attention_mask=tok["attention_mask"],
-                         params=tower_params)
-        return out.last_hidden_state[:, 0, :]  # CLS token
-
-
-class _WordHashTokenizer:
-    """Deterministic hashing tokenizer (offline stand-in for a real vocab)."""
-
-    def __init__(self, vocab_size: int, max_len: int):
-        self.vocab_size = vocab_size
-        self.max_len = max_len
-
-    def __call__(self, texts: List[str], padding=None, truncation=True,
-                 max_length: Optional[int] = None, return_tensors="np"):
-        import hashlib
-        max_length = max_length or self.max_len
-        if self.vocab_size > 3000:  # BERT-like vocab: keep special-id range
-            cls_id, sep_id, lo = 101, 102, 2000
-        else:  # tiny vocab (tests / compact models)
-            cls_id, sep_id, lo = 1, 2, 3
-        span = max(1, self.vocab_size - lo)
-        seqs = []
-        for t in texts:
-            words = t.split()[: max_length - 2]
-            ids = [cls_id] + [
-                lo + int.from_bytes(
-                    hashlib.sha1(w.encode()).digest()[:3], "little") % span
-                for w in words] + [sep_id]
-            seqs.append(ids)
-        L = max(len(s) for s in seqs)
-        input_ids = np.zeros((len(seqs), L), np.int32)
-        mask = np.zeros((len(seqs), L), np.int32)
-        for i, s in enumerate(seqs):
-            input_ids[i, : len(s)] = s
-            mask[i, : len(s)] = 1
-        return {"input_ids": input_ids, "attention_mask": mask}
+# The trainable tower implementation lives in chemeleon_tpu/text/tower.py
+# (shared with TextEncoder's trainable_text_encoder path).

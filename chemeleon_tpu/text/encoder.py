@@ -183,7 +183,13 @@ def make_backend(text_encoder_name: str, text_embed_dim: int, max_text_len: int,
 
 class TextEncoder:
     """Host+device text encoder matching the reference API surface
-    (get_text_embeds, text_encode; text_encoder.py:129-205)."""
+    (get_text_embeds, text_encode; text_encoder.py:129-205).
+
+    ``trainable_text_encoder=True`` (text_encoder.py:36-46) attaches a
+    TrainableTextTower whose forward runs INSIDE the jitted loss: the params
+    tree becomes ``{"conditioner": ..., "tower": ...}`` and gradients flow
+    into the tower. With the default (frozen) setting the params tree is the
+    bare conditioner variables, unchanged from round 1 checkpoints."""
 
     def __init__(self, text_encoder_name: str = "lfoppiano/MatTPUSciBERT",
                  text_embed_dim: int = 768, max_text_len: int = 256,
@@ -203,14 +209,48 @@ class TextEncoder:
         # Optional fn(raw [B, D_enc]) -> [B, text_embed_dim]: the CLIP text
         # projection applied to backend output (text_encoder.py:180-182).
         self.clip_apply = pretrained_clip_apply
-        self.backend = make_backend(text_encoder_name, text_embed_dim,
-                                    max_text_len, backend)
+        self.tower = None
+        if trainable_text_encoder:
+            from chemeleon_tpu.text.tower import TrainableTextTower
+            self.tower = TrainableTextTower(text_encoder_name,
+                                            text_embed_dim, max_text_len)
+            # host-side convenience encoder (initial tower weights) so
+            # backend-only callers keep working; training/sampling use the
+            # live params via text_inputs/raw_embeds_in_loss
+            self.backend = lambda texts: np.asarray(
+                self.tower.encode(self.tower.model.params, list(texts)))
+        else:
+            self.backend = make_backend(text_encoder_name, text_embed_dim,
+                                        max_text_len, backend)
         self.conditioner = TextConditioner(text_embed_dim, text_dim)
 
     def init_params(self, key: jax.Array):
         dummy = jnp.zeros((1, self.text_embed_dim))
         keep = jnp.ones((1,), bool)
-        return self.conditioner.init(key, dummy, keep)
+        cond = self.conditioner.init(key, dummy, keep)
+        if self.tower is not None:
+            return {"conditioner": cond, "tower": self.tower.init_params(key)}
+        return cond
+
+    # -- trainable-tower plumbing ---------------------------------------------
+    def text_inputs(self, texts: List[str]):
+        """Host-side preprocessing for the jitted loss: token arrays when the
+        tower is trainable, else frozen backend embeddings."""
+        if self.tower is not None:
+            return self.tower.tokenize(list(texts))
+        return self.text_encode(texts)
+
+    def raw_embeds_in_loss(self, params, text_input) -> jnp.ndarray:
+        """[B, text_embed_dim] from ``text_inputs`` output; pure in params —
+        safe (and differentiable) inside jit."""
+        if self.tower is not None:
+            input_ids, attention_mask = text_input
+            return self.tower.apply(params["tower"], input_ids,
+                                    attention_mask)
+        return text_input
+
+    def conditioner_params(self, params):
+        return params["conditioner"] if self.tower is not None else params
 
     def text_encode(self, texts: List[str]) -> jnp.ndarray:
         """Backend forward (+ CLIP text projection if attached): [B, D]."""
@@ -219,23 +259,39 @@ class TextEncoder:
             raw = self.clip_apply(raw)
         return raw
 
+    def _raw_with_params(self, params, texts: List[str]) -> jnp.ndarray:
+        """Tower/backend embeddings using the LIVE params when trainable."""
+        if self.tower is not None:
+            return self.tower.encode(params["tower"], list(texts))
+        return self.text_encode(texts)
+
     def get_text_embeds(self, params, texts: List[str], cond_drop_prob: float,
                         key: Optional[jax.Array] = None) -> jnp.ndarray:
-        """[B, text_dim] with CFG cond-drop (text_encoder.py:186-205)."""
-        raw = self.text_encode(texts)
+        """[B, text_dim] with CFG cond-drop (text_encoder.py:186-205).
+
+        With 0 < cond_drop_prob < 1 a ``key`` is REQUIRED: silently falling
+        back to a fixed key would correlate the CFG drop mask across calls."""
+        raw = self._raw_with_params(params, texts)
         B = raw.shape[0]
-        if cond_drop_prob in (0.0, 1.0) or key is None:
+        if cond_drop_prob in (0.0, 1.0):
             keep = prob_mask_like(jax.random.PRNGKey(0), (B,),
                                   1.0 - cond_drop_prob)
         else:
+            if key is None:
+                raise ValueError(
+                    "get_text_embeds with 0 < cond_drop_prob < 1 needs an "
+                    "explicit PRNG key (a fixed default would repeat the "
+                    "same drop mask every call)")
             keep = prob_mask_like(key, (B,), 1.0 - cond_drop_prob)
-        return self.conditioner.apply(params, raw, keep)
+        return self.conditioner.apply(self.conditioner_params(params), raw,
+                                      keep)
 
     def embed_cond_and_null(self, params, texts: List[str]):
         """Convenience for sampling: (cond_embeds, null_embeds), each
         [B, text_dim] (reference chemeleon.py:364-374)."""
-        raw = self.text_encode(texts)
+        raw = self._raw_with_params(params, texts)
         B = raw.shape[0]
-        cond = self.conditioner.apply(params, raw, jnp.ones((B,), bool))
-        null = self.conditioner.apply(params, raw, jnp.zeros((B,), bool))
+        cparams = self.conditioner_params(params)
+        cond = self.conditioner.apply(cparams, raw, jnp.ones((B,), bool))
+        null = self.conditioner.apply(cparams, raw, jnp.zeros((B,), bool))
         return cond, null

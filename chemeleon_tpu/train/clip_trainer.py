@@ -55,9 +55,11 @@ class ClipTrainer:
                                    cfg.project_name, offline=True,
                                    config=cfg.to_dict())
 
-        def step(params, opt_state, batch, raw_text):
+        def step(params, opt_state, batch, text_input):
             def loss_fn(p):
-                return self.clip.loss(p, batch, raw_text)
+                # text_input is tokens when the tower is trainable: the tower
+                # forward runs inside loss, so grads reach params["text_tower"]
+                return self.clip.loss(p, batch, text_input)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
@@ -65,15 +67,15 @@ class ClipTrainer:
             return params, opt_state, loss
 
         self._step = jax.jit(step, donate_argnums=(0, 1))
-        self._eval = jax.jit(lambda p, b, r: self.clip.loss(p, b, r))
+        self._eval = jax.jit(lambda p, b, t: self.clip.loss(p, b, t))
 
-    def _raw(self, params, texts):
-        return self.clip.encode_text_raw(params, texts)
+    def _text(self, texts):
+        return self.clip.text_inputs(texts)
 
     def evaluate(self, params, loader) -> float:
         total, count = 0.0, 0
         for batch, texts in loader:
-            loss = self._eval(params, batch, self._raw(params, texts))
+            loss = self._eval(params, batch, self._text(texts))
             total += float(loss) * batch.batch_size
             count += batch.batch_size
         return total / max(count, 1)
@@ -90,7 +92,7 @@ class ClipTrainer:
         for epoch in range(max_epochs):
             for batch, texts in self.dm.train_dataloader(epoch):
                 params, opt_state, loss = self._step(
-                    params, opt_state, batch, self._raw(params, texts))
+                    params, opt_state, batch, self._text(texts))
                 if gs % 50 == 0:
                     self.logger.log({"train/loss": float(loss)}, gs)
                 gs += 1

@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+import jax.numpy as jnp
 import optax
 
 from chemeleon_tpu.config import ChemeleonConfig
@@ -45,27 +46,36 @@ def build_optimizer(cfg: ChemeleonConfig) -> optax.GradientTransformation:
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Update the injected learning rate inside an optax state tree."""
+    """Return a COPY of the optax state with the injected learning rate set.
 
-    def visit(state):
-        if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
-            state.hyperparams["learning_rate"] = type(
-                state.hyperparams["learning_rate"])(lr) if isinstance(
-                    state.hyperparams["learning_rate"], float) else \
-                state.hyperparams["learning_rate"] * 0 + lr
-            return True
-        return False
+    Functional on purpose: in-place mutation of a (possibly donated) state
+    pytree is fragile, and a silent no-op when the state layout changes is
+    worse. Raises if no ``inject_hyperparams`` learning_rate is found."""
+    found = [False]
 
-    # optax states are tuples/namedtuples; walk them.
-    def walk(s):
-        if visit(s):
-            return
+    def rebuild(s):
+        hp = getattr(s, "hyperparams", None)
+        if isinstance(hp, dict) and "learning_rate" in hp and hasattr(
+                s, "_replace"):
+            new_hp = dict(hp)
+            old = new_hp["learning_rate"]
+            new_hp["learning_rate"] = (
+                type(old)(lr) if isinstance(old, float)
+                else jnp.asarray(lr, getattr(old, "dtype", jnp.float32)))
+            found[0] = True
+            return s._replace(hyperparams=new_hp)
         if isinstance(s, tuple):
-            for sub in s:
-                walk(sub)
+            items = [rebuild(x) for x in s]
+            # namedtuple (optax wrapper states) vs plain tuple (chain)
+            return type(s)(*items) if hasattr(s, "_fields") else tuple(items)
+        return s
 
-    walk(opt_state)
-    return opt_state
+    new_state = rebuild(opt_state)
+    if not found[0]:
+        raise ValueError(
+            "set_learning_rate: no injected learning_rate in optimizer state "
+            "(optimizer not built with optax.inject_hyperparams?)")
+    return new_state
 
 
 class LRScheduler:

@@ -40,19 +40,25 @@ def make_train_step(model: Chemeleon, tx: optax.GradientTransformation,
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, 1))
 
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-
-    def shard_batch_leaf(x):
+    # Mesh branch: constrain the batch/text inputs to the data axis INSIDE
+    # the compiled step (params keep their committed TP placement from
+    # shard_params; GSPMD inserts the grad all-reduce + TP collectives).
+    # with_sharding_constraint makes the layout part of the program instead
+    # of trusting callers to device_put correctly.
+    def data_shard(x):
         return NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
 
-    # Shardings: params/opt_state replicated (DP; TP handled by GSPMD from
-    # param placement), batch + text + key split on data axis.
-    return jax.jit(
-        step,
-        donate_argnums=(0, 1),
-        out_shardings=None,
-    )
+    def sharded_step(params, opt_state, batch, raw_text, key):
+        batch = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, data_shard(x)),
+            batch)
+        if raw_text is not None:
+            raw_text = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, data_shard(x)),
+                raw_text)
+        return step(params, opt_state, batch, raw_text, key)
+
+    return jax.jit(sharded_step, donate_argnums=(0, 1))
 
 
 def make_eval_step(model: Chemeleon) -> Callable:

@@ -91,7 +91,9 @@ class Trainer:
     def _raw_text(self, texts):
         if not self.cfg.text_guide:
             return None
-        return jnp.asarray(self.model.text_encoder.backend(texts))
+        # tokens when trainable_text_encoder (tower runs inside the jitted
+        # loss, under grad); frozen backend embeddings otherwise
+        return self.model.text_encoder.text_inputs(texts)
 
     def validate(self, params, epoch: int) -> Dict[str, float]:
         agg: Dict[str, float] = {}
@@ -131,7 +133,7 @@ class Trainer:
         history = []
         for epoch in range(start_epoch, max_epochs):
             lr = self.lr_sched.on_epoch(epoch)
-            set_learning_rate(opt_state, lr)
+            opt_state = set_learning_rate(opt_state, lr)
             t0 = time.time()
             for batch, texts in self.dm.train_dataloader(epoch):
                 step_key = jax.random.fold_in(key, global_step)
@@ -158,7 +160,7 @@ class Trainer:
             val_metrics = self.validate(params, epoch)
             val_loss = val_metrics.get("val/loss", float("inf"))
             lr = self.lr_sched.on_validation(val_loss)
-            set_learning_rate(opt_state, lr)
+            opt_state = set_learning_rate(opt_state, lr)
             val_metrics["epoch"] = epoch
             val_metrics["epoch_time"] = time.time() - t0
             self.logger.log(val_metrics, global_step)
