@@ -7,7 +7,7 @@ a small evaluation — end-to-end evidence that the pipeline learns on real
 chemistry.
 
 Usage: python -m chemeleon_tpu.scripts.smoke_train \
-           --source /root/reference/data/mp-40/test.csv --epochs 30
+           --source data/mp-40/test.csv --epochs 30
 """
 
 from __future__ import annotations
@@ -43,7 +43,7 @@ def split_csv(source: str, out_dir: str, val_frac: float = 0.08,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--source", default="/root/reference/data/mp-40/test.csv")
+    ap.add_argument("--source", default="data/mp-40/test.csv")
     ap.add_argument("--data-dir", default=".data_cache/mp40-smoke")
     ap.add_argument("--log-dir", default="logs")
     ap.add_argument("--epochs", type=int, default=30)

@@ -4,6 +4,7 @@ reference dataset is present."""
 
 import csv
 import os
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -25,7 +26,8 @@ from chemeleon_tpu.chem.matcher import StructureMatcher
 from chemeleon_tpu.chem.structure import Crystal
 from chemeleon_tpu.chem.validity import smact_validity, structure_validity
 
-MP40_TEST = "/root/reference/data/mp-40/test.csv"
+MP40_TEST = str(Path(__file__).resolve().parent.parent
+                / "data" / "mp-40" / "test.csv")
 
 
 def test_lattice_from_parameters_zero_pattern():
