@@ -110,6 +110,51 @@ def test_clip_trainer(data_dir, tmp_path):
     out = tr.fit(max_epochs=2)
     assert np.isfinite(out["best_val_loss"])
     assert np.isfinite(out["test_loss"])
+    # orbax best/last checkpoints with optimizer state + meta
+    # (reference ModelCheckpoint, run_crystal_clip.py:74-81)
+    ckpts = os.listdir(tr.ckpt_dir)
+    assert "best" in ckpts and "last" in ckpts
+    assert (tr.ckpt_dir / "last" / "opt_state").exists()
+    with open(tr.ckpt_dir / "last" / "meta.json") as f:
+        assert json.load(f)["epoch"] == 1
+
+    # exact resume continues from the saved epoch
+    tr2 = ClipTrainer(cfg, text_backend="hash")
+    out2 = tr2.fit(max_epochs=3, resume_from=str(tr.ckpt_dir / "last"))
+    assert np.isfinite(out2["best_val_loss"])
+    with open(tr2.ckpt_dir / "last" / "meta.json") as f:
+        assert json.load(f)["epoch"] == 2  # epochs 0,1 ran before resume
+
+
+def test_clip_resume_restores_optimizer_state(data_dir, tmp_path):
+    from chemeleon_tpu.train.clip_trainer import ClipTrainer
+    cfg = get_config("clip_prompt", data_dir=data_dir,
+                     log_dir=str(tmp_path / "logs_c"), **TINY)
+    tr = ClipTrainer(cfg, text_backend="hash")
+    tr.fit(max_epochs=1)
+    like_params = tr.clip.init_params(jax.random.PRNGKey(0))
+    like_opt = tr.tx.init(like_params)
+    params, meta, opt_state = tr.load_checkpoint(
+        str(tr.ckpt_dir / "last"), like_params, opt_state_like=like_opt)
+    assert opt_state is not None
+    total = sum(float(np.abs(np.asarray(x)).sum())
+                for x in jax.tree.leaves(opt_state)
+                if hasattr(x, "shape") and getattr(x, "size", 0) > 1)
+    assert total > 0  # adam moments moved
+
+
+def test_clip_trainer_on_mesh(data_dir, tmp_path, eight_devices):
+    """CLIP fit with the batch sharded over the 8-device data axis (the DDP
+    replacement, run_crystal_clip.py:83-90)."""
+    from chemeleon_tpu.train.clip_trainer import ClipTrainer
+    cfg = get_config("clip_prompt", data_dir=data_dir,
+                     log_dir=str(tmp_path / "logs_m"), mesh_shape=(8, 1),
+                     **{**TINY, "batch_size": 8})
+    tr = ClipTrainer(cfg, text_backend="hash")
+    assert tr.mesh is not None
+    out = tr.fit(max_epochs=1)
+    assert np.isfinite(out["best_val_loss"])
+    assert np.isfinite(out["test_loss"])
 
 
 def _grad_norm(tree) -> float:
