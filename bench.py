@@ -2,27 +2,135 @@
 
 North star (BASELINE.json / BASELINE.md): 1000 valid mp-40-scale structures
 via 1000-step predictor-corrector DDPM in <60 s on a v5e-8 slice
-=> 2.083 structures/s/chip. This bench samples a batch of structures with the
-full-size score net (hidden 512, 6 layers, 128 freqs, CFG cond_scale=2.0 —
-2 decoder forwards of batch 2B per step) on the single available chip and
-reports structures/s/chip.
+=> 2.083 structures/s/chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default mode is the REAL workload: the mp-40 test set's bucket mix
+{8: 36, 16: 137, 24: 146, 32: 99, 40: 290 structures} (reference
+evaluate.py:26-28 runs exactly this set). Each bucket is timed with the
+full-size score net (hidden 512, 6 layers, 128 freqs, CFG cond_scale=2.0 —
+2 decoder forwards of batch 2B per step, bf16) and the headline `value` is
+the throughput-weighted aggregate: 708 structures / sum(count_N / sps_N).
+Per-bucket numbers are in `detail.buckets`.
+
+`detail.valid_frac` reports the fraction of samples passing the reference
+validity criterion (evaluate.py:177-189) from the smoke-trained checkpoint
+(logs/mp40_smoke) — raw-throughput numbers from a random-init model say
+nothing about the "1000 *valid* structures" target, so validity is measured
+on a model that actually learned mp-40 structure.
+
+Env knobs: BENCH_MODE=mix|single (default mix), BENCH_VALID=0 to skip the
+validity pass, and for single mode BENCH_BATCH / BENCH_NATOMS /
+BENCH_TIMESTEPS / BENCH_DTYPE / BENCH_PALLAS / BENCH_EDGE.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
 BASELINE_STRUCTURES_PER_SEC_PER_CHIP = 1000.0 / 60.0 / 8.0  # 2.0833
 
+# mp-40 test.csv natoms histogram by padding bucket (708 rows).
+MP40_BUCKET_MIX = {8: 36, 16: 137, 24: 146, 32: 99, 40: 290}
+# Best measured batch size per bucket (BENCH.md round 1: B=128 at N<=16,
+# B=64 at N>=24).
+BUCKET_BATCH = {8: 128, 16: 128, 24: 64, 32: 64, 40: 64}
 
-def main():
+SMOKE_CKPT = Path(__file__).parent / "logs" / "mp40_smoke" / "checkpoints" / "best"
+
+
+def _time_bucket(model, n_atoms: int, batch_size: int, key_seed: int):
+    """(structures/s, elapsed_s) for one bucket, compile excluded."""
+    import jax
+    warm = model.sample("LiMnO4 with orthorhombic symmetry", n_atoms,
+                        batch_size, key=jax.random.PRNGKey(key_seed))
+    del warm
+    t0 = time.perf_counter()
+    crystals = model.sample("LiMnO4 with orthorhombic symmetry", n_atoms,
+                            batch_size, key=jax.random.PRNGKey(key_seed + 1))
+    elapsed = time.perf_counter() - t0
+    assert len(crystals) == batch_size
+    return batch_size / elapsed, elapsed
+
+
+def _validity_pass():
+    """valid_frac over samples from the smoke-trained checkpoint (compact
+    model, real mp-40 training), sampled at the two dominant buckets."""
+    import jax
+    from chemeleon_tpu.chem.validity import structure_validity
+    from chemeleon_tpu.models.chemeleon import Chemeleon
+
+    model = Chemeleon.load_from_checkpoint(str(SMOKE_CKPT))
+    n_valid = n_tot = 0
+    for n_atoms, n_samples in ((16, 32), (32, 32)):
+        crystals = model.sample("a crystal of TiO2", n_atoms, n_samples,
+                                key=jax.random.PRNGKey(n_atoms))
+        n_valid += sum(structure_validity(c) for c in crystals)
+        n_tot += len(crystals)
+    return n_valid / max(n_tot, 1), n_tot
+
+
+def run_mix():
+    import jax
+    from chemeleon_tpu.config import get_config
+    from chemeleon_tpu.models.chemeleon import Chemeleon
+
+    compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    timesteps = int(os.environ.get("BENCH_TIMESTEPS", "1000"))
+    buckets = sorted(MP40_BUCKET_MIX)
+
+    cfg = get_config(None, timesteps=timesteps, compute_dtype=compute_dtype,
+                     pad_buckets=tuple(buckets))
+    model = Chemeleon(cfg, text_backend="hash")
+    model.init_params(jax.random.PRNGKey(0))
+
+    detail_buckets = {}
+    total_time_708 = 0.0
+    for n in buckets:
+        B = BUCKET_BATCH[n]
+        sps, elapsed = _time_bucket(model, n, B, key_seed=n)
+        detail_buckets[str(n)] = {
+            "count": MP40_BUCKET_MIX[n], "batch_size": B,
+            "structures_per_sec": round(sps, 3),
+            "elapsed_s": round(elapsed, 3),
+        }
+        total_time_708 += MP40_BUCKET_MIX[n] / sps
+
+    agg_sps = sum(MP40_BUCKET_MIX.values()) / total_time_708
+
+    valid_frac = None
+    n_validity_samples = 0
+    if os.environ.get("BENCH_VALID", "1") == "1" and SMOKE_CKPT.exists():
+        valid_frac, n_validity_samples = _validity_pass()
+
+    return {
+        "metric": "mp40_mix_structures_per_sec_per_chip",
+        "value": round(agg_sps, 3),
+        "unit": "structures/s/chip",
+        "vs_baseline": round(agg_sps / BASELINE_STRUCTURES_PER_SEC_PER_CHIP, 3),
+        "detail": {
+            "workload": "mp-40 test-set bucket mix (708 structures)",
+            "timesteps": timesteps,
+            "compute_dtype": compute_dtype,
+            "buckets": detail_buckets,
+            "time_for_708_structures_s": round(total_time_708, 2),
+            "valid_frac": valid_frac,
+            "valid_frac_note": (
+                f"{n_validity_samples} samples from the smoke-trained "
+                "checkpoint (logs/mp40_smoke), reference validity criterion"
+                if valid_frac is not None else "smoke checkpoint not found"),
+            "backend": jax.default_backend(),
+        },
+    }
+
+
+def run_single():
     import jax
     from chemeleon_tpu.config import get_config
     from chemeleon_tpu.models.chemeleon import Chemeleon
@@ -32,8 +140,7 @@ def main():
     timesteps = int(os.environ.get("BENCH_TIMESTEPS", "1000"))
     compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     # XLA path is currently faster than the fused Pallas kernel at bench
-    # shapes (18.7 vs 14.6 structs/s: XLA's epilogue fusion on the large flat
-    # matmuls wins); flip with BENCH_PALLAS=1 to measure the kernel.
+    # shapes; flip with BENCH_PALLAS=1 to measure the kernel.
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     edge_style = os.environ.get("BENCH_EDGE", "fc")  # fc | knn
 
@@ -43,20 +150,8 @@ def main():
     model = Chemeleon(cfg, text_backend="hash")
     model.init_params(jax.random.PRNGKey(0))
 
-    # Warm-up / compile (excluded from timing; jit caches persist).
-    warm = model.sample("LiMnO4 with orthorhombic symmetry", n_atoms,
-                        batch_size, key=jax.random.PRNGKey(1))
-    del warm
-
-    t0 = time.perf_counter()
-    crystals = model.sample("LiMnO4 with orthorhombic symmetry", n_atoms,
-                            batch_size, key=jax.random.PRNGKey(2))
-    elapsed = time.perf_counter() - t0
-
-    sps = batch_size / elapsed
-    fwd_ms_per_step = elapsed / timesteps * 1000.0  # 2 decoder fwd of 2B each
-
-    result = {
+    sps, elapsed = _time_bucket(model, n_atoms, batch_size, key_seed=1)
+    return {
         "metric": "structures_per_sec_per_chip",
         "value": round(sps, 3),
         "unit": "structures/s/chip",
@@ -67,11 +162,15 @@ def main():
             "timesteps": timesteps,
             "compute_dtype": compute_dtype,
             "elapsed_s": round(elapsed, 3),
-            "sampler_ms_per_step": round(fwd_ms_per_step, 3),
-            "n_structures": len(crystals),
+            "sampler_ms_per_step": round(elapsed / timesteps * 1000.0, 3),
             "backend": jax.default_backend(),
         },
     }
+
+
+def main():
+    mode = os.environ.get("BENCH_MODE", "mix")
+    result = run_mix() if mode == "mix" else run_single()
     print(json.dumps(result))
 
 

@@ -21,6 +21,7 @@ from typing import Callable, List, Optional
 import numpy as np
 
 from chemeleon_tpu.chem.lattice import crystal_system_from_lattice, lattice_system
+from chemeleon_tpu.chem.symmetry import crystal_system as symmetry_crystal_system
 from chemeleon_tpu.chem.matcher import StructureMatcher
 from chemeleon_tpu.chem.structure import Crystal
 from chemeleon_tpu.chem.validity import structure_validity
@@ -49,11 +50,22 @@ def test_composition_matching(st_list: List[Crystal], ref_st: Crystal) -> int:
     return sum(1 for st in st_list if st.composition == ref)
 
 
+def _crystal_system(st: Crystal, symprec: float = 0.1) -> str:
+    """SpacegroupAnalyzer(symprec=0.1) semantics (evaluate.py:231-249):
+    crystal system from detected space-group operations (chem/symmetry.py,
+    99.3% agreement with the mp-40 ground-truth labels vs 62.6% for the
+    cell-parameter classifier). Falls back to the geometric classifier if
+    symmetry detection fails (e.g. degenerate generated cells)."""
+    try:
+        return symmetry_crystal_system(st, symprec=symprec)
+    except Exception:
+        return crystal_system_from_lattice(st.lattice)
+
+
 def test_crystal_system_matching(st_list: List[Crystal],
                                  ref_st: Crystal) -> int:
-    ref_cs = crystal_system_from_lattice(ref_st.lattice)
-    return sum(1 for st in st_list
-               if crystal_system_from_lattice(st.lattice) == ref_cs)
+    ref_cs = _crystal_system(ref_st)
+    return sum(1 for st in st_list if _crystal_system(st) == ref_cs)
 
 
 def test_lattice_system_matching(st_list: List[Crystal],
