@@ -63,11 +63,80 @@ class SoftSphereCalculator:
         return energy, forces
 
 
+class LennardJonesCalculator:
+    """Min-image LJ with per-pair sigma from covalent radii. Unlike the
+    soft-sphere repulsion it has an equilibrium cell, so it exercises the
+    full (anisotropic) cell relaxation the way MACE does upstream."""
+
+    def __init__(self, eps: float = 0.2, sigma_scale: float = 1.0,
+                 rcut: float = 8.0):
+        self.eps = eps
+        self.sigma_scale = sigma_scale
+        self.rcut = rcut
+
+    def __call__(self, st: Crystal) -> Tuple[float, np.ndarray]:
+        n = len(st)
+        cart = st.cart_coords
+        radii = np.array([COVALENT_RADII.get(symbol_of(int(z)), 1.2)
+                          for z in st.atom_types]) * self.sigma_scale
+        img = _OFFSETS @ st.lattice
+        energy = 0.0
+        forces = np.zeros((n, 3))
+        for i in range(n):
+            d = cart[None, :, :] + img[:, None, :] - cart[i]  # [27, n, 3]
+            r = np.linalg.norm(d, axis=-1)                    # [27, n]
+            sig = (radii[i] + radii)[None, :]
+            mask = (r > 1e-8) & (r < self.rcut)
+            rs = np.where(mask, r, 1.0)
+            x6 = (sig / rs) ** 6
+            e = 4.0 * self.eps * (x6 ** 2 - x6)
+            energy += 0.5 * float(np.where(mask, e, 0.0).sum())
+            # dE/dr = 4 eps (-12 x12 + 6 x6)/r; F_i = -dE/dx_i (d points i->j)
+            dedr = np.where(mask, 4.0 * self.eps *
+                            (-12.0 * x6 ** 2 + 6.0 * x6) / rs, 0.0)
+            forces[i] += ((dedr / rs)[..., None] * d).sum(axis=(0, 1))
+        return energy, forces
+
+
+def numerical_stress(st: Crystal,
+                     calc: Callable[[Crystal], Tuple[float, np.ndarray]],
+                     eps: float = 1e-4) -> np.ndarray:
+    """Symmetric 3x3 stress tensor sigma_ab = (1/V) dE/d(eps_ab) by central
+    finite differences on affine strains (atoms co-move, frac fixed)."""
+    lat0 = st.lattice
+    frac = st.frac_coords
+    V = st.volume
+    sigma = np.zeros((3, 3))
+    for a in range(3):
+        for b in range(a, 3):
+            strain = np.zeros((3, 3))
+            strain[a, b] = strain[b, a] = eps
+            Ep, _ = calc(Crystal(lat0 @ (np.eye(3) + strain), frac,
+                                 st.atom_types))
+            Em, _ = calc(Crystal(lat0 @ (np.eye(3) - strain), frac,
+                                 st.atom_types))
+            # dE = V * sigma : d_eps; the symmetric off-diagonal strain hits
+            # both (a,b) and (b,a)
+            denom = (2.0 if a == b else 4.0) * eps * V
+            sigma[a, b] = sigma[b, a] = (Ep - Em) / denom
+    return sigma
+
+
 def fire_relax(st: Crystal, calc: Callable[[Crystal], Tuple[float, np.ndarray]],
                fmax: float = 0.05, steps: int = 200, dt: float = 0.1,
                dt_max: float = 1.0, relax_cell: bool = False,
-               diverge_fmax: float = 1000.0) -> Tuple[Crystal, dict]:
-    """FIRE minimization; returns (relaxed crystal, info)."""
+               diverge_fmax: float = 1000.0,
+               smax: float = 5e-3, max_strain_step: float = 0.02,
+               cell_gain: float = 1.0) -> Tuple[Crystal, dict]:
+    """FIRE minimization; returns (relaxed crystal, info).
+
+    ``relax_cell=True`` relaxes the FULL 3x3 cell (lengths AND angles) via
+    steepest descent on the strain — the TPU-repo analog of the reference's
+    FrechetCellFilter stage (reference optimize.py:100-108), which the
+    round-1 isotropic volume scaling did not cover. Every 10 position steps
+    the cell takes a strain step d_eps = -cell_gain * sigma (proportional to
+    the stress so it decays near the minimum, capped at max_strain_step for
+    stability far away) until |sigma| < smax."""
     x = st.cart_coords.copy()
     lat = st.lattice.copy()
     v = np.zeros_like(x)
@@ -84,6 +153,17 @@ def fire_relax(st: Crystal, calc: Callable[[Crystal], Tuple[float, np.ndarray]],
             info["diverged"] = True
             break
         if fnorm < fmax:
+            if relax_cell:
+                sigma = numerical_stress(cur, calc)
+                info["stress_max"] = float(np.abs(sigma).max())
+                if info["stress_max"] > smax:
+                    # forces converged but cell still stressed: strain and go on
+                    frac = (x @ np.linalg.inv(lat)) % 1.0
+                    gamma = min(cell_gain,
+                                max_strain_step / info["stress_max"])
+                    lat = lat @ (np.eye(3) - gamma * sigma)
+                    x = frac @ lat
+                    continue
             info["converged"] = True
             break
         p = float((forces * v).sum())
@@ -102,17 +182,17 @@ def fire_relax(st: Crystal, calc: Callable[[Crystal], Tuple[float, np.ndarray]],
         v = v + dt * forces
         x = x + dt * v
         if relax_cell and step % 10 == 9:
-            # isotropic cell scaling toward zero overlap pressure
-            e0, _ = calc(Crystal(lat, (x @ np.linalg.inv(lat)) % 1.0,
-                                 st.atom_types))
-            e1, _ = calc(Crystal(lat * 1.01,
-                                 (x @ np.linalg.inv(lat)) % 1.0 * 0 +
-                                 (x @ np.linalg.inv(lat)) % 1.0,
-                                 st.atom_types))
-            if e1 < e0:
-                frac = (x @ np.linalg.inv(lat)) % 1.0
-                lat = lat * 1.01
-                x = frac @ lat
+            # full anisotropic cell step: strain against the stress tensor
+            frac = (x @ np.linalg.inv(lat)) % 1.0
+            cur_cell = Crystal(lat, frac, st.atom_types)
+            sigma = numerical_stress(cur_cell, calc)
+            s_inf = float(np.abs(sigma).max())
+            info["stress_max"] = s_inf
+            if s_inf > smax:
+                gamma = min(cell_gain, max_strain_step / s_inf)
+                strain = -gamma * sigma
+                lat = lat @ (np.eye(3) + strain)
+                x = frac @ lat  # atoms co-move affinely
     final = Crystal(lat, (x @ np.linalg.inv(lat)) % 1.0, st.atom_types)
     return final, info
 

@@ -165,6 +165,63 @@ def test_fire_relax_reduces_overlap():
     assert relaxed.min_pair_distance() > st.min_pair_distance()
 
 
+def test_anisotropic_cell_relax_restores_cubic():
+    """Full-cell relaxation (the FrechetCellFilter analog, reference
+    optimize.py:100-108): a stretched AND sheared FCC LJ crystal must relax
+    back to a cubic cell — lengths equalize and angles return to 90°, which
+    isotropic volume scaling cannot do."""
+    from chemeleon_tpu.eval.optimize import (
+        LennardJonesCalculator,
+        fire_relax,
+        numerical_stress,
+    )
+    calc = LennardJonesCalculator(eps=0.2)
+    FCC = [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]
+
+    def fcc(a, gamma=90.0, stretch=1.0):
+        lat = lattice_from_parameters(a * stretch, a, a, 90, 90, gamma)
+        return Crystal(lat, FCC, [11] * 4)
+
+    # find the equilibrium cubic lattice constant first (stress ~ 0)
+    st0, info0 = fire_relax(fcc(4.2), calc, steps=300, relax_cell=True,
+                            smax=5e-4)
+    assert info0["converged"]
+    a0 = st0.lattice_params[0]
+    assert abs(st0.lattice_params[1] - a0) / a0 < 1e-3
+
+    # stretch a by 8% and shear gamma to 82 deg; relax the full cell
+    relaxed, info = fire_relax(fcc(a0, gamma=82.0, stretch=1.08), calc,
+                               steps=800, relax_cell=True, smax=5e-4)
+    assert info["converged"]
+    a, b, c, al, be, ga = relaxed.lattice_params
+    assert abs(ga - 90) < 0.5, f"shear not relaxed: gamma={ga}"
+    assert abs(al - 90) < 0.5 and abs(be - 90) < 0.5
+    assert abs(a - b) / b < 0.02 and abs(b - c) / c < 0.02, (a, b, c)
+    # residual stress is below the convergence threshold
+    s = numerical_stress(relaxed, calc)
+    assert float(np.abs(s).max()) < 1e-3
+
+
+def test_numerical_stress_sign():
+    """A compressed LJ crystal is under compression: relaxing strain must
+    EXPAND the cell (positive pressure -> negative required strain of -sigma
+    direction grows volume)."""
+    from chemeleon_tpu.eval.optimize import (
+        LennardJonesCalculator,
+        numerical_stress,
+    )
+    calc = LennardJonesCalculator(eps=0.2)
+    lat = lattice_from_parameters(2.8, 2.8, 2.8, 90, 90, 90)
+    st = Crystal(lat, [[0, 0, 0], [0.5, 0.5, 0.5]], [11, 11])
+    s = numerical_stress(st, calc)
+    # compression => dE/d(eps_aa) < 0 (expanding lowers energy)
+    assert s[0, 0] < 0 and s[1, 1] < 0 and s[2, 2] < 0
+    # applying the descent strain -gamma*sigma increases the volume
+    gamma = 0.02 / float(np.abs(s).max())
+    lat2 = lat @ (np.eye(3) - gamma * s)
+    assert np.linalg.det(lat2) > np.linalg.det(lat)
+
+
 def test_optimize_atoms_list_fail_log(tmp_path):
     from chemeleon_tpu.eval.optimize import optimize_atoms_list
     lat = lattice_from_parameters(5, 5, 5, 90, 90, 90)
