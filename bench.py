@@ -20,7 +20,7 @@ on a model that actually learned mp-40 structure.
 
 Env knobs: BENCH_MODE=mix|single (default mix), BENCH_VALID=0 to skip the
 validity pass, and for single mode BENCH_BATCH / BENCH_NATOMS /
-BENCH_TIMESTEPS / BENCH_DTYPE / BENCH_PALLAS / BENCH_EDGE.
+BENCH_TIMESTEPS / BENCH_DTYPE / BENCH_EDGE.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
@@ -139,14 +139,10 @@ def run_single():
     n_atoms = int(os.environ.get("BENCH_NATOMS", "16"))
     timesteps = int(os.environ.get("BENCH_TIMESTEPS", "1000"))
     compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    # XLA path is currently faster than the fused Pallas kernel at bench
-    # shapes; flip with BENCH_PALLAS=1 to measure the kernel.
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     edge_style = os.environ.get("BENCH_EDGE", "fc")  # fc | knn
 
     cfg = get_config(None, timesteps=timesteps, compute_dtype=compute_dtype,
-                     pad_buckets=(n_atoms,), use_pallas=use_pallas,
-                     edge_style=edge_style)
+                     pad_buckets=(n_atoms,), edge_style=edge_style)
     model = Chemeleon(cfg, text_backend="hash")
     model.init_params(jax.random.PRNGKey(0))
 

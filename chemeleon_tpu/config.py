@@ -110,8 +110,6 @@ class ChemeleonConfig:
     mesh_shape: Tuple[int, int] = (1, 1)
     # Compute dtype for the score network ("float32" | "bfloat16"); params stay f32.
     compute_dtype: str = "float32"
-    # Use the fused Pallas edge-aggregation kernel on TPU when available.
-    use_pallas: bool = False
     # Rematerialize CSP layers during training (memory for FLOPs).
     remat: bool = False
     # Trajectory snapshot stride inside the compiled sampler (1 = every step).

@@ -69,7 +69,7 @@ def build_schedulers(cfg: ChemeleonConfig) -> Schedulers:
     return Schedulers(beta, sigma, d3pm)
 
 
-def build_decoder(cfg: ChemeleonConfig, use_pallas: bool = False) -> CSPNet:
+def build_decoder(cfg: ChemeleonConfig) -> CSPNet:
     return CSPNet(
         hidden_dim=cfg.hidden_dim, time_dim=cfg.time_dim,
         text_dim=cfg.text_dim if cfg.text_guide else 0,
@@ -78,7 +78,7 @@ def build_decoder(cfg: ChemeleonConfig, use_pallas: bool = False) -> CSPNet:
         cutoff=cfg.cutoff, max_neighbors=cfg.max_neighbors, ln=cfg.ln,
         ip=cfg.ip, smooth=cfg.smooth, pred_atom_types=cfg.pred_atom_types,
         dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
-        use_pallas=use_pallas, remat=cfg.remat and not use_pallas)
+        remat=cfg.remat)
 
 
 # ---------------------------------------------------------------------------
@@ -314,11 +314,11 @@ class Chemeleon:
     def __init__(self, config: ChemeleonConfig,
                  text_backend: str = "auto"):
         self.cfg = config
-        # training/XLA decoder and (optionally Pallas-fused) sampling decoder
-        # share identical parameter trees; only the compute schedule differs.
         self.decoder = build_decoder(config)
-        self.decoder_sample = (build_decoder(config, use_pallas=True)
-                               if config.use_pallas else self.decoder)
+        # one decoder for training and sampling: the XLA compute schedule won
+        # every on-chip shootout vs the fused Pallas edge kernel (see
+        # BENCH.md 'Pallas kernel post-mortem'); the kernel was removed.
+        self.decoder_sample = self.decoder
         self.sched = build_schedulers(config)
         self.text_encoder = None
         if config.text_guide:

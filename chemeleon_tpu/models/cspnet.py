@@ -72,11 +72,6 @@ def sinusoids_embedding(x: jnp.ndarray, n_frequencies: int) -> jnp.ndarray:
     return jax.lax.stop_gradient(emb)
 
 
-def _pallas_supported(n: int, hidden: int, dis_dim: int) -> bool:
-    from chemeleon_tpu.ops.pallas.edge_agg import supported
-    return supported(n, hidden, dis_dim)
-
-
 class FilmLayer(nn.Module):
     """Feature-wise linear modulation + residual block (cspnet.py:55-97).
 
@@ -115,7 +110,6 @@ class CSPLayer(nn.Module):
     ln: bool = False
     ip: bool = True
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, node_features: jnp.ndarray, fourier_ij: jnp.ndarray,
@@ -183,19 +177,6 @@ class CSPLayer(nn.Module):
             e = nn.silu(e)                                    # [RB, N, K, H]
             w = jnp.tile(nbr_mask, (R, 1, 1)).astype(e.dtype)[..., None]
             agg = (e * w).sum(axis=2) / jnp.maximum(w.sum(axis=2), 1.0)
-        elif self.use_pallas and _pallas_supported(N, H, D):
-            # Fused VMEM-resident edge MLP + aggregation (ops/pallas/edge_agg)
-            # — never materializes the [RB, N, N, H] pair tensors in HBM.
-            from chemeleon_tpu.ops.pallas.edge_agg import fused_edge_aggregate
-            maskf = mask.astype(jnp.float32)
-            jmask = maskf / jnp.maximum(maskf.sum(-1, keepdims=True), 1.0)
-            base = (term_lat.astype(jnp.float32)
-                    + e1_bias.astype(jnp.float32))
-            interpret = jax.default_backend() != "tpu"
-            agg = fused_edge_aggregate(
-                term_i, term_j, base, fourier_ij.astype(dt), jmask,
-                w_f, e2_kernel.astype(dt), e2_bias, interpret=interpret)
-            agg = agg.astype(dt)
         else:
             term_f = fourier_ij.astype(dt) @ w_f              # [B, N, N, H]
             if RB != B:
@@ -256,7 +237,6 @@ class CSPNet(nn.Module):
     smooth: bool = False
     pred_atom_types: bool = True
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False  # fused edge kernel (inference path)
     remat: bool = False       # rematerialize CSP layers (training memory:
     #                           drops the [RB, N, N, H] edge activations and
     #                           recomputes them in the backward pass)
@@ -346,8 +326,7 @@ class CSPNet(nn.Module):
             if cond is not None and film is not None:
                 h = film(h, cond)
             h = layer_cls(self.hidden_dim, dis_dim, ln=self.ln, ip=self.ip,
-                          name=f"csp_layer_{i}", dtype=dt,
-                          use_pallas=self.use_pallas)(
+                          name=f"csp_layer_{i}", dtype=dt)(
                 h, fourier_ij, lat_ip_flat, pair_mask, mask,
                 neighbors=neighbors)
 
