@@ -1,8 +1,10 @@
 """Hyperparameter sweep (reference: sweep.py:18-33 — a wandb Bayes sweep over
-batch/hidden/layers/lr/wd/optimizer, count=100).
+batch/hidden/layers/lr/wd/optimizer, count=100, minimizing val/loss).
 
-Without wandb in this environment, the default is a local random-search sweep
-over the same space, logging to log_dir. With wandb installed and
+The reference delegates the Bayesian optimization to wandb's sweep backend;
+this environment has no wandb/egress, so the default here is an in-repo TPE
+Bayesian optimizer (chemeleon_tpu/utils/bayesopt.py) over the same space.
+``--method random`` falls back to random search; with wandb installed and
 ``--wandb``, the original behavior is reproduced.
 """
 
@@ -10,32 +12,19 @@ from __future__ import annotations
 
 import argparse
 import json
-import random
 from pathlib import Path
 
+from chemeleon_tpu.utils.bayesopt import TPEOptimizer
+
+# The reference sweep space (sweep.py:20-31).
 SWEEP_SPACE = {
     "batch_size": [64, 128, 256],
     "hidden_dim": [256, 512, 1024],
     "num_layers": [4, 6, 8],
-    "lr": (1e-4, 1e-2),      # log-uniform
+    "lr": ("log", 1e-4, 1e-2),
     "weight_decay": (0.0, 1e-4),
     "optimizer": ["adam", "adamw"],
 }
-
-
-def sample_config(rng: random.Random):
-    import math
-    cfg = {}
-    for k, v in SWEEP_SPACE.items():
-        if isinstance(v, list):
-            cfg[k] = rng.choice(v)
-        else:
-            lo, hi = v
-            if k == "lr":
-                cfg[k] = math.exp(rng.uniform(math.log(lo), math.log(hi)))
-            else:
-                cfg[k] = rng.uniform(lo, hi)
-    return cfg
 
 
 def main() -> None:
@@ -44,23 +33,28 @@ def main() -> None:
     ap.add_argument("--max-epochs", type=int, default=5)
     ap.add_argument("--named-config", default="chemeleon_bert_composition")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--method", choices=["bayes", "random"], default="bayes")
     ap.add_argument("--wandb", action="store_true")
     args = ap.parse_args()
 
     from chemeleon_tpu.config import get_config
     from chemeleon_tpu.train.trainer import Trainer
 
-    rng = random.Random(args.seed)
+    opt = TPEOptimizer(SWEEP_SPACE, seed=args.seed,
+                       n_startup=(args.count if args.method == "random"
+                                  else min(10, max(3, args.count // 5))))
     results = []
     for trial in range(args.count):
-        overrides = sample_config(rng)
+        overrides = opt.suggest()
         cfg = get_config(args.named_config,
                          exp_name=f"sweep_{trial}", **overrides)
         try:
             tr = Trainer(cfg)
             out = tr.fit(max_epochs=args.max_epochs)
+            loss = out["best_val_loss"]
+            opt.observe(overrides, loss)
             results.append({"trial": trial, **overrides,
-                            "best_val_loss": out["best_val_loss"]})
+                            "best_val_loss": loss})
         except Exception as e:
             results.append({"trial": trial, **overrides, "error": str(e)})
         Path("sweep_results.json").write_text(json.dumps(results, indent=2))

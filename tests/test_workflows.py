@@ -229,3 +229,49 @@ def test_optimize_atoms_list_fail_log(tmp_path):
     out = optimize_atoms_list(sts, str(tmp_path), steps=20)
     assert len(out) == 1 and out[0] is not None
     assert (tmp_path / "opt_0.cif").exists()
+
+
+def test_tpe_beats_random_on_synthetic_objective():
+    """The in-repo TPE Bayesian optimizer (the wandb-bayes replacement,
+    reference sweep.py:18-33) must find better optima than random search on
+    a mixed categorical/continuous objective with the same trial budget."""
+    import math
+    from chemeleon_tpu.utils.bayesopt import TPEOptimizer
+
+    space = {
+        "opt": ["a", "b", "c"],
+        "lr": ("log", 1e-4, 1e-1),
+        "wd": (0.0, 1.0),
+    }
+
+    def objective(cfg):
+        pen = {"a": 0.5, "b": 0.0, "c": 0.8}[cfg["opt"]]
+        return (pen + (math.log10(cfg["lr"]) + 2.5) ** 2
+                + (cfg["wd"] - 0.3) ** 2)
+
+    def run(method_seed, n_startup, count=60):
+        opt = TPEOptimizer(space, seed=method_seed, n_startup=n_startup)
+        for _ in range(count):
+            cfg = opt.suggest()
+            opt.observe(cfg, objective(cfg))
+        return opt.best[1]
+
+    tpe = sorted(run(s, n_startup=10) for s in range(7))
+    rand = sorted(run(s, n_startup=10 ** 9) for s in range(7))  # pure random
+    # median comparison: TPE can lose an unlucky seed to the categorical
+    # basin trap (a known TPE pathology), but must typically dominate
+    assert tpe[3] < rand[3], (tpe, rand)
+    # and the optimum is genuinely approached
+    assert min(tpe) < 0.02
+
+
+def test_tpe_respects_space():
+    from chemeleon_tpu.utils.bayesopt import TPEOptimizer
+    space = {"c": [1, 2, 4], "x": (0.0, 1.0), "lr": ("log", 1e-5, 1e-2)}
+    opt = TPEOptimizer(space, seed=1, n_startup=5)
+    for i in range(30):
+        cfg = opt.suggest()
+        assert cfg["c"] in (1, 2, 4)
+        assert 0.0 <= cfg["x"] <= 1.0
+        assert 1e-5 <= cfg["lr"] <= 1e-2
+        opt.observe(cfg, float(i % 7))
