@@ -61,16 +61,35 @@ def _time_bucket(model, n_atoms: int, batch_size: int, key_seed: int):
 
 def _validity_pass():
     """valid_frac over samples from the smoke-trained checkpoint (compact
-    model, real mp-40 training), sampled at the two dominant buckets."""
+    model, real mp-40 training): prompts are REAL mp-40 composition strings
+    at their true atom counts (the checkpoint's training text format —
+    data/mp-40 composition column), mirroring the evaluate.py protocol."""
+    import csv
+    import random
+
     import jax
+    from chemeleon_tpu.chem.composition import parse_composition
     from chemeleon_tpu.chem.validity import structure_validity
     from chemeleon_tpu.models.chemeleon import Chemeleon
 
     model = Chemeleon.load_from_checkpoint(str(SMOKE_CKPT))
+    csv.field_size_limit(10 ** 9)
+    with open(Path(__file__).parent / "data" / "mp-40" / "test.csv") as f:
+        rows = [(r["composition"],
+                 int(sum(parse_composition(r["composition"]).values())))
+                for r in csv.DictReader(f)]
+    rng = random.Random(0)
+    rng.shuffle(rows)
+
     n_valid = n_tot = 0
-    for n_atoms, n_samples in ((16, 32), (32, 32)):
-        crystals = model.sample("a crystal of TiO2", n_atoms, n_samples,
-                                key=jax.random.PRNGKey(n_atoms))
+    # two dominant buckets; per bucket, 32 real compositions of fitting size
+    for bucket in (16, 32):
+        fit = [(c, n) for c, n in rows
+               if bucket - 8 < n <= bucket][:32]
+        texts = [c for c, _ in fit]
+        natoms = [n for _, n in fit]
+        crystals = model.sample_batch(natoms, texts,
+                                      key=jax.random.PRNGKey(bucket))
         n_valid += sum(structure_validity(c) for c in crystals)
         n_tot += len(crystals)
     return n_valid / max(n_tot, 1), n_tot

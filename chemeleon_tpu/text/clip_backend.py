@@ -90,8 +90,8 @@ class ClipCheckpointBackend:
             self.tokenizer = AutoTokenizer.from_pretrained(
                 tok_name, local_files_only=True)
         except Exception:
-            from chemeleon_tpu.models.clip import _WordHashTokenizer
-            self.tokenizer = _WordHashTokenizer(cfg.vocab_size, max_text_len)
+            from chemeleon_tpu.text.tower import WordHashTokenizer
+            self.tokenizer = WordHashTokenizer(cfg.vocab_size, max_text_len)
 
     def __call__(self, texts: List[str]) -> np.ndarray:
         import torch
