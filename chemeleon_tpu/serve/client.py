@@ -41,6 +41,18 @@ def predict(url: str, text_input: str, n_atoms: int, n_samples: int,
     return [Crystal.from_dict(d) for d in last["atoms"]]
 
 
+def generate(url: str, text_input: str, n_atoms: int, n_samples: int,
+             timeout: float = 600.0) -> List[Crystal]:
+    """POST /generate (non-streaming; server-side dynamic batching)."""
+    body = json.dumps({"text_input": text_input, "n_atoms": n_atoms,
+                       "n_samples": n_samples}).encode()
+    req = Request(url.rstrip("/") + "/generate", data=body,
+                  headers={"Content-Type": "application/json"})
+    with urlopen(req, timeout=timeout) as r:
+        payload = json.loads(r.read())
+    return [Crystal.from_dict(d) for d in payload["atoms"]]
+
+
 if __name__ == "__main__":
     import sys
     url = sys.argv[1] if len(sys.argv) > 1 else "http://127.0.0.1:8000"

@@ -6,18 +6,27 @@ JSON line per recorded sampling step (the reference streams every DDPM step;
 here steps arrive in compiled chunks of ``stream_chunk`` — same wire format,
 set stream_chunk=1 for per-step latency at reduced throughput).
 
+POST ``/generate`` is the non-streaming, throughput-oriented endpoint with
+DYNAMIC BATCHING: concurrent requests arriving within ``batch_window_s`` are
+coalesced into ONE padded ``sample_batch`` call (the chip's throughput at
+batch 32+ is ~10x its batch-1 throughput, so batching is where serving
+capacity comes from on TPU — the analog of the reference's
+``workers_per_device=4``, app/server.py:55-58, which multiplies GPU workers
+instead).
+
 Implemented on the stdlib http.server (no LitServe/FastAPI in this
 environment); threaded so multiple clients can stream concurrently while the
-TPU serializes compiled scans (workers_per_device in the reference maps to
-server threads here).
+TPU serializes compiled scans.
 """
 
 from __future__ import annotations
 
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import List, Optional
 
 from chemeleon_tpu.chem.structure import Crystal
 
@@ -31,9 +40,22 @@ def crystals_to_payload(crystals, step: Optional[int] = None) -> str:
     return json.dumps(payload)
 
 
+class _PendingRequest:
+    """One /generate request waiting in the dynamic-batching queue."""
+
+    def __init__(self, n_samples: int, n_atoms: int, text: str):
+        self.n_samples = n_samples
+        self.n_atoms = n_atoms
+        self.text = text
+        self.event = threading.Event()
+        self.result: Optional[List[Crystal]] = None
+        self.error: Optional[str] = None
+
+
 class ChemeleonServer:
     def __init__(self, model=None, host: str = "0.0.0.0", port: int = 8000,
-                 stream_chunk: int = 100, model_kind: str = "general_text"):
+                 stream_chunk: int = 100, model_kind: str = "general_text",
+                 max_batch: int = 64, batch_window_s: float = 0.05):
         if model is None:
             from chemeleon_tpu.models.chemeleon import Chemeleon
             if model_kind == "general_text":
@@ -44,8 +66,64 @@ class ChemeleonServer:
         self.host = host
         self.port = port
         self.stream_chunk = stream_chunk
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_s
         self._lock = threading.Lock()  # one compiled scan at a time
         self._httpd: Optional[ThreadingHTTPServer] = None
+        self._queue: "queue.Queue[_PendingRequest]" = queue.Queue()
+        self._stop = threading.Event()
+        self._collector: Optional[threading.Thread] = None
+        self.batch_calls = 0  # device calls served by /generate (telemetry)
+
+    # -- dynamic batching ------------------------------------------------------
+    def _collect_loop(self):
+        """Coalesce concurrent /generate requests into one sample_batch."""
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            total = first.n_samples
+            deadline = time.monotonic() + self.batch_window_s
+            while total < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                batch.append(item)
+                total += item.n_samples
+            natoms, texts = [], []
+            for r in batch:
+                natoms.extend([r.n_atoms] * r.n_samples)
+                texts.extend([r.text] * r.n_samples)
+            try:
+                with self._lock:
+                    crystals = self.model.sample_batch(natoms, texts)
+                self.batch_calls += 1
+                i = 0
+                for r in batch:
+                    r.result = crystals[i: i + r.n_samples]
+                    i += r.n_samples
+            except Exception as e:  # pragma: no cover - device failures
+                for r in batch:
+                    r.error = str(e)
+            for r in batch:
+                r.event.set()
+
+    def generate(self, req: dict, timeout: float = 600.0) -> List[Crystal]:
+        """Enqueue one request into the dynamic batch and wait for results."""
+        pending = _PendingRequest(req["n_samples"], req["n_atoms"],
+                                  req["text_input"])
+        self._queue.put(pending)
+        if not pending.event.wait(timeout):
+            raise TimeoutError("generate timed out")
+        if pending.error is not None:
+            raise RuntimeError(pending.error)
+        return pending.result
 
     # -- request handling -----------------------------------------------------
     def decode_request(self, body: dict) -> dict:
@@ -94,7 +172,7 @@ class ChemeleonServer:
                     self.send_error(404)
 
             def do_POST(self):
-                if self.path != "/predict":
+                if self.path not in ("/predict", "/generate"):
                     self.send_error(404)
                     return
                 try:
@@ -103,6 +181,19 @@ class ChemeleonServer:
                     req = server_self.decode_request(body)
                 except (ValueError, json.JSONDecodeError) as e:
                     self.send_error(400, str(e))
+                    return
+                if self.path == "/generate":
+                    try:
+                        crystals = server_self.generate(req)
+                        data = crystals_to_payload(crystals).encode()
+                    except Exception as e:
+                        self.send_error(500, str(e))
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
                     return
                 self.send_response(200)
                 self.send_header("Content-Type", "application/x-ndjson")
@@ -123,15 +214,23 @@ class ChemeleonServer:
     def run(self, background: bool = False):
         self._httpd = ThreadingHTTPServer((self.host, self.port),
                                           self.make_handler())
+        self._stop.clear()
+        self._collector = threading.Thread(target=self._collect_loop,
+                                           daemon=True)
+        self._collector.start()
         print(f"ChemeleonServer listening on {self.host}:{self.port}")
         if background:
             th = threading.Thread(target=self._httpd.serve_forever,
                                   daemon=True)
             th.start()
             return th
-        self._httpd.serve_forever()
+        try:
+            self._httpd.serve_forever()
+        finally:
+            self._stop.set()
 
     def shutdown(self):
+        self._stop.set()
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd = None

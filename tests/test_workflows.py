@@ -144,6 +144,31 @@ def test_server_streaming(model):
         server.shutdown()
 
 
+def test_server_dynamic_batching(model):
+    """Concurrent /generate requests coalesce into fewer device calls than
+    requests (TPU serving capacity comes from batching, not workers)."""
+    from concurrent.futures import ThreadPoolExecutor
+    from chemeleon_tpu.serve.client import generate
+    from chemeleon_tpu.serve.server import ChemeleonServer
+
+    port = _free_port()
+    server = ChemeleonServer(model=model, host="127.0.0.1", port=port,
+                             batch_window_s=1.0, max_batch=64)
+    server.run(background=True)
+    try:
+        url = f"http://127.0.0.1:{port}"
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            futs = [ex.submit(generate, url, f"T{i}O2", 4, 2, 600.0)
+                    for i in range(4)]
+            results = [f.result() for f in futs]
+        assert all(len(r) == 2 for r in results)
+        assert all(len(c) == 4 for r in results for c in r)
+        # 4 concurrent requests inside one 1 s window -> fewer device calls
+        assert server.batch_calls < 4, server.batch_calls
+    finally:
+        server.shutdown()
+
+
 def test_visualizer(tmp_path, model):
     from chemeleon_tpu.visualize import Visualizer
     crystals = model.sample("TiO2", 4, 1, key=jax.random.PRNGKey(0))
