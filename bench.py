@@ -38,9 +38,10 @@ BASELINE_STRUCTURES_PER_SEC_PER_CHIP = 1000.0 / 60.0 / 8.0  # 2.0833
 
 # mp-40 test.csv natoms histogram by padding bucket (708 rows).
 MP40_BUCKET_MIX = {8: 36, 16: 137, 24: 146, 32: 99, 40: 290}
-# Best measured batch size per bucket (BENCH.md round 1: B=128 at N<=16,
-# B=64 at N>=24).
-BUCKET_BATCH = {8: 128, 16: 128, 24: 64, 32: 64, 40: 64}
+# Best measured batch size per bucket (BENCH.md round-2 sweep: big batches
+# win at small N; at N>=32 smaller batches relieve HBM pressure on the
+# [R*B, N, N, H] edge tensors — B=32 at N=40 is +11% over B=64).
+BUCKET_BATCH = {8: 128, 16: 128, 24: 48, 32: 32, 40: 32}
 
 SMOKE_CKPT = Path(__file__).parent / "logs" / "mp40_smoke" / "checkpoints" / "best"
 
@@ -68,15 +69,15 @@ def _validity_pass():
     import random
 
     import jax
-    from chemeleon_tpu.chem.composition import parse_composition
+    from chemeleon_tpu.chem.cif import parse_cif
     from chemeleon_tpu.chem.validity import structure_validity
     from chemeleon_tpu.models.chemeleon import Chemeleon
 
     model = Chemeleon.load_from_checkpoint(str(SMOKE_CKPT))
     csv.field_size_limit(10 ** 9)
     with open(Path(__file__).parent / "data" / "mp-40" / "test.csv") as f:
-        rows = [(r["composition"],
-                 int(sum(parse_composition(r["composition"]).values())))
+        # natoms from the CIF (the composition column is the REDUCED formula)
+        rows = [(r["composition"], len(parse_cif(r["cif"])))
                 for r in csv.DictReader(f)]
     rng = random.Random(0)
     rng.shuffle(rows)

@@ -143,7 +143,9 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
         if k == "material_id":
             continue
         arr = np.asarray(v, dtype=np.float64)
-        means[f"mean_{k}"] = float(np.nanmean(arr)) if len(arr) else float("nan")
+        finite = arr[np.isfinite(arr)]
+        means[f"mean_{k}"] = (float(finite.mean()) if len(finite)
+                              else float("nan"))
 
     save = Path(save_path)
     save.mkdir(parents=True, exist_ok=True)
