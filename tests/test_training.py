@@ -234,6 +234,29 @@ def test_diffusion_trainable_text_encoder(data_dir):
     assert len(crystals) == 1
 
 
+def test_trainer_fit_with_trainable_text_encoder(data_dir, tmp_path):
+    """Full Trainer.fit with trainable_text_encoder=True: tokens flow
+    through the jitted step, the tower params actually move, and sampling
+    works from the trained state."""
+    from chemeleon_tpu.train.trainer import Trainer
+    cfg = get_config("chemeleon_bert_prompt", data_dir=data_dir,
+                     log_dir=str(tmp_path / "logs_t"),
+                     trainable_text_encoder=True, **TINY)
+    tr = Trainer(cfg)
+    # same seed fit() uses, so p0 IS the starting point of training
+    p0 = jax.tree.map(np.copy,
+                      tr.model.init_params(jax.random.PRNGKey(cfg.seed)))
+    out = tr.fit(max_epochs=1)
+    assert np.isfinite(out["best_val_loss"])
+    moved = _grad_norm(jax.tree.map(
+        lambda a, b: np.asarray(a, np.float32) - np.asarray(b, np.float32),
+        tr.model.params["text"]["tower"], p0["text"]["tower"]))
+    assert moved > 0, "tower params did not move during fit"
+    crystals = tr.model.sample("a crystal of X", 4, 1,
+                               key=jax.random.PRNGKey(1))
+    assert len(crystals) == 1
+
+
 def test_grad_accumulation_matches_mean_gradient():
     """accumulate_grad_batches=4 (optax.MultiSteps, reference config.py:68):
     params freeze for 3 micro-steps, then the applied update equals one step
