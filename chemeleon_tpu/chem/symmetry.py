@@ -106,12 +106,38 @@ def find_symmetry_operations(crystal, symprec: float = 0.1
             cart = d @ lat
             dist = np.linalg.norm(cart, axis=-1)  # [n, n]
             dist = np.where(types[None, :] == types[:, None], dist, np.inf)
-            if np.all(dist.min(axis=1) <= symprec):
+            # fast reject, then require a true one-to-one site mapping —
+            # min-distance alone would let near-coincident same-species
+            # atoms (degenerate generated cells) validate fake symmetries
+            if np.all(dist.min(axis=1) <= symprec) and \
+                    _has_bijection(dist, symprec):
                 found = w
                 break
         if found is not None:
             ops.append((W.astype(np.int64), found))
     return ops
+
+
+def _has_bijection(dist: np.ndarray, symprec: float) -> bool:
+    """True iff a perfect one-to-one matching exists with all pair
+    distances <= symprec."""
+    nearest = dist.argmin(axis=1)
+    if len(set(nearest.tolist())) == len(nearest):
+        return True  # nearest-neighbor map is already a permutation
+    try:
+        from scipy.optimize import linear_sum_assignment
+    except ImportError:  # greedy fallback (adequate at n <= 40)
+        d = dist.copy()
+        for _ in range(len(d)):
+            i, j = np.unravel_index(np.argmin(d), d.shape)
+            if d[i, j] > symprec:
+                return False
+            d[i, :] = np.inf
+            d[:, j] = np.inf
+        return True
+    cost = np.where(dist <= symprec, dist, 1e6)
+    rows, cols = linear_sum_assignment(cost)
+    return bool((dist[rows, cols] <= symprec).all())
 
 
 _ROT_TYPE = {  # (det, trace) -> rotation type label

@@ -94,6 +94,9 @@ class ChemeleonServer:
                     item = self._queue.get(timeout=remaining)
                 except queue.Empty:
                     break
+                if total + item.n_samples > self.max_batch:
+                    self._queue.put(item)  # keep the memory cap strict
+                    break
                 batch.append(item)
                 total += item.n_samples
             natoms, texts = [], []
@@ -187,7 +190,11 @@ class ChemeleonServer:
                         crystals = server_self.generate(req)
                         data = crystals_to_payload(crystals).encode()
                     except Exception as e:
-                        self.send_error(500, str(e))
+                        # keep the status line single-line; details (JAX
+                        # errors are multi-line) go in the body via explain
+                        self.send_error(500, "generation failed",
+                                        explain=" ".join(
+                                            str(e).split())[:500])
                         return
                     self.send_response(200)
                     self.send_header("Content-Type", "application/json")
@@ -231,6 +238,15 @@ class ChemeleonServer:
 
     def shutdown(self):
         self._stop.set()
+        # fail fast for requests still queued — their handler threads would
+        # otherwise block until the client timeout
+        while True:
+            try:
+                pending = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            pending.error = "server shutting down"
+            pending.event.set()
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd = None

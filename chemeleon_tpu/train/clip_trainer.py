@@ -168,7 +168,12 @@ class ClipTrainer:
         opt_state = restored_opt if restored_opt is not None \
             else self.tx.init(params)
 
+        # resume must not clobber a better pre-resume "best" checkpoint
         best = float("inf")
+        best_meta = Path(self.ckpt_dir) / "best" / "meta.json"
+        if resume_from and best_meta.exists():
+            with open(best_meta) as f:
+                best = float(json.load(f)["val_loss"])
         gs = 0
         epoch = start_epoch - 1
         for epoch in range(start_epoch, max_epochs):

@@ -128,9 +128,15 @@ class Trainer:
         opt_state = restored_opt if restored_opt is not None \
             else self.tx.init(params)
 
+        # resume must not clobber a better pre-resume "best" checkpoint
         best_val = float("inf")
+        best_meta = self.ckpt_dir / "best" / "meta.json"
+        if (resume_from or cfg.resume_from) and best_meta.exists():
+            with open(best_meta) as f:
+                best_val = float(json.load(f)["val_loss"])
         global_step = 0
         history = []
+        epoch = start_epoch - 1  # resume from a completed run: loop may not run
         for epoch in range(start_epoch, max_epochs):
             lr = self.lr_sched.on_epoch(epoch)
             opt_state = set_learning_rate(opt_state, lr)

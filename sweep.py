@@ -14,6 +14,8 @@ import argparse
 import json
 from pathlib import Path
 
+import numpy as np
+
 from chemeleon_tpu.utils.bayesopt import TPEOptimizer
 
 # The reference sweep space (sweep.py:20-31).
@@ -44,6 +46,7 @@ def main() -> None:
                        n_startup=(args.count if args.method == "random"
                                   else min(10, max(3, args.count // 5))))
     results = []
+    worst = 1.0
     for trial in range(args.count):
         overrides = opt.suggest()
         cfg = get_config(args.named_config,
@@ -53,9 +56,14 @@ def main() -> None:
             out = tr.fit(max_epochs=args.max_epochs)
             loss = out["best_val_loss"]
             opt.observe(overrides, loss)
+            if np.isfinite(loss):
+                worst = max(worst, loss)
             results.append({"trial": trial, **overrides,
                             "best_val_loss": loss})
         except Exception as e:
+            # teach the optimizer that this region crashes/diverges —
+            # otherwise TPE keeps re-proposing NaN-loss configs
+            opt.observe(overrides, worst * 10.0)
             results.append({"trial": trial, **overrides, "error": str(e)})
         Path("sweep_results.json").write_text(json.dumps(results, indent=2))
     best = min((r for r in results if "best_val_loss" in r),

@@ -105,6 +105,26 @@ def test_ops_form_closed_set_identity_present():
             assert tuple((Wa @ Wb).ravel()) in mats
 
 
+def test_near_coincident_atoms_do_not_fake_symmetry():
+    """Two same-species atoms closer than symprec must not let a rotation
+    validate via a many-to-one site mapping (the op must be a bijection)."""
+    # one Ti at origin + an O pair almost on top of each other at a
+    # low-symmetry position: any op mapping both O images onto the SAME
+    # O atom would wrongly pass a min-distance-only check
+    c = _crystal(4, 4, 4, 90, 90, 90,
+                 [[0, 0, 0], [0.31, 0.17, 0.05], [0.325, 0.17, 0.05]],
+                 [22, 8, 8])
+    ops = find_symmetry_operations(c, symprec=0.1)
+    for W, w in ops:
+        img = (np.asarray(c.frac_coords) @ W.T + w) % 1.0
+        d = img[:, None, :] - np.asarray(c.frac_coords)[None, :, :]
+        d -= np.round(d)
+        dist = np.linalg.norm(d @ c.lattice, axis=-1)
+        nearest = dist.argmin(axis=1)
+        # mapping restricted to same species must be injective
+        assert len(set(nearest.tolist())) == len(nearest), (W, w)
+
+
 def test_lattice_point_group_counts():
     cub = lattice_from_parameters(4, 4, 4, 90, 90, 90)
     assert len(lattice_point_group(cub, 0.01)) == 48
