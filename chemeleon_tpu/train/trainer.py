@@ -117,6 +117,11 @@ class Trainer:
         params = self.model.init_params(key)
         start_epoch = 0
         restored_opt = None
+        if cfg.load_path and not (resume_from or cfg.resume_from):
+            # warm start: params only — fresh optimizer state and epoch
+            # counter (upstream declares this key but never reads it,
+            # reference config.py:85; here it works)
+            params, _, _ = self.load_checkpoint(cfg.load_path, params)
         if resume_from or cfg.resume_from:
             params, meta, restored_opt = self.load_checkpoint(
                 resume_from or cfg.resume_from, params,

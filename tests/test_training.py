@@ -314,6 +314,33 @@ def test_set_learning_rate_functional():
         set_learning_rate(optax.sgd(1e-3).init(params), 1e-4)
 
 
+def test_load_path_warm_start(data_dir, tmp_path):
+    """cfg.load_path warm-starts params WITHOUT restoring epoch/optimizer
+    (the key upstream declares but never reads, reference config.py:85)."""
+    from chemeleon_tpu.train.trainer import Trainer
+    cfg = get_config("chemeleon_bert_prompt", data_dir=data_dir,
+                     log_dir=str(tmp_path / "w1"), **TINY)
+    tr = Trainer(cfg, text_backend="hash")
+    tr.fit(max_epochs=1)
+
+    cfg2 = get_config("chemeleon_bert_prompt", data_dir=data_dir,
+                      log_dir=str(tmp_path / "w2"),
+                      load_path=str(tr.ckpt_dir / "last"), **TINY)
+    tr2 = Trainer(cfg2, text_backend="hash")
+    init = tr2.model.init_params(jax.random.PRNGKey(cfg2.seed))
+    out = tr2.fit(max_epochs=1)
+    # warm start: trained from the loaded params, epoch counter fresh
+    assert out["epochs"] == 1
+    with open(tr2.ckpt_dir / "last" / "meta.json") as f:
+        assert json.load(f)["epoch"] == 0
+    # and the run did NOT start from the fresh init (params were loaded)
+    loaded_like = tr.load_checkpoint(str(tr.ckpt_dir / "last"), init)[0]
+    diff = sum(float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+               for a, b in zip(jax.tree.leaves(loaded_like),
+                               jax.tree.leaves(init)))
+    assert diff > 0  # sanity: warm-start source differs from fresh init
+
+
 def test_resume_restores_optimizer_state(data_dir, tmp_path):
     """Exact-resume: optimizer state round-trips through the checkpoint."""
     import jax
