@@ -20,9 +20,13 @@ def main(argv=None) -> None:
 
     trainer = ClipTrainer(cfg)
     if cfg.test_only:
+        import jax
+
         trainer.dm.setup("test")
-        params = trainer.clip.init_params(__import__("jax").random.PRNGKey(
-            cfg.seed))
+        params = trainer.clip.init_params(jax.random.PRNGKey(cfg.seed))
+        ckpt = cfg.resume_from or cfg.load_path
+        if ckpt:  # test a trained checkpoint (reference run_crystal_clip.py:89-93)
+            params, _, _ = trainer.load_checkpoint(ckpt, params)
         loss = trainer.evaluate(params, trainer.dm.test_dataloader())
         print(f"test/loss: {loss:.5f}")
         return
