@@ -46,6 +46,17 @@ BUCKET_BATCH = {8: 128, 16: 128, 24: 48, 32: 32, 40: 32}
 SMOKE_CKPT = Path(__file__).parent / "logs" / "mp40_smoke" / "checkpoints" / "best"
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: the mix bench compiles 7+ sampler
+    shapes (20-60 s each through the TPU tunnel); warm runs skip all of it."""
+    import jax
+
+    cache_dir = Path(__file__).parent / ".cache" / "jax_compilation"
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _time_bucket(model, n_atoms: int, batch_size: int, key_seed: int):
     """(structures/s, elapsed_s) for one bucket, compile excluded."""
     import jax
@@ -185,6 +196,7 @@ def run_single():
 
 
 def main():
+    _enable_compilation_cache()
     mode = os.environ.get("BENCH_MODE", "mix")
     result = run_mix() if mode == "mix" else run_single()
     print(json.dumps(result))
