@@ -403,9 +403,16 @@ class Chemeleon:
                      cond_scale: float = 2.0, step_lr: float = 1e-5,
                      key: Optional[jax.Array] = None,
                      return_trajectory: bool = False,
-                     n_max: Optional[int] = None):
+                     n_max: Optional[int] = None,
+                     mesh=None):
         """Batched sampling API (heals the reference's API skew — SURVEY §3.5:
-        evaluate.py/dash_app.py call an older (natoms, texts) signature)."""
+        evaluate.py/dash_app.py call an older (natoms, texts) signature).
+
+        ``mesh``: optional jax.sharding.Mesh — shards the batch over the
+        data axis for multi-chip inference (params replicated; one compiled
+        program, bitwise-equal to single-device per
+        test_sharded_sampling_matches_single_device). len(natoms) must be
+        divisible by the data-axis size."""
         assert self.params is not None, "call init_params() or load a checkpoint"
         if texts is not None:
             assert len(natoms) == len(texts), \
@@ -422,9 +429,32 @@ class Chemeleon:
             text_embeds, null_embeds = self.text_encoder.embed_cond_and_null(
                 self.params["text"], texts)
 
+        decoder_params = self.params["decoder"]
+        batch_natoms = batch0.natoms
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from chemeleon_tpu.parallel.mesh import DATA_AXIS, replicate
+
+            dp = mesh.shape[DATA_AXIS]
+            assert B % dp == 0, (
+                f"batch of {B} structures does not divide the data axis "
+                f"({dp}); pad natoms/texts to a multiple of {dp}")
+            shard = lambda x: jax.device_put(x, NamedSharding(
+                mesh, P(DATA_AXIS, *([None] * (x.ndim - 1)))))
+            batch_natoms = shard(batch_natoms)
+            text_embeds = shard(text_embeds)
+            null_embeds = shard(null_embeds)
+            # replicate params once per mesh, not per call (serving hot path)
+            cache_key = id(mesh)
+            if getattr(self, "_mesh_params_key", None) != cache_key:
+                self._mesh_params = replicate(mesh, decoder_params)
+                self._mesh_params_key = cache_key
+            decoder_params = self._mesh_params
+
         run = self._get_compiled_sampler(B, N, return_trajectory, None)
         ts = jnp.arange(cfg.timesteps, 0, -1)
-        final, traj = run(self.params["decoder"], batch0.natoms, text_embeds,
+        final, traj = run(decoder_params, batch_natoms, text_embeds,
                           null_embeds, key, cond_scale, step_lr, ts)
 
         natoms_np = np.asarray(batch0.natoms)

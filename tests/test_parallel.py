@@ -179,6 +179,27 @@ def test_dryrun_multichip_entrypoint(eight_devices):
     dryrun_multichip(8)
 
 
+def test_sample_batch_mesh_api(eight_devices):
+    """The one-argument multi-chip path: sample_batch(..., mesh=) must
+    reproduce the single-device result exactly."""
+    cfg = get_config(None, **TINY)
+    model = Chemeleon(cfg, text_backend="hash")
+    model.init_params(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(11)
+    single = model.sample_batch([6] * 8, ["TiO2"] * 8, key=key)
+
+    mesh = make_mesh((8, 1), devices=eight_devices)
+    with mesh:
+        sharded = model.sample_batch([6] * 8, ["TiO2"] * 8, key=key,
+                                     mesh=mesh)
+    for a, b in zip(single, sharded):
+        np.testing.assert_array_equal(a.atom_types, b.atom_types)
+        np.testing.assert_allclose(a.frac_coords, b.frac_coords, atol=1e-6)
+
+    with pytest.raises(AssertionError):
+        model.sample_batch([6] * 3, ["TiO2"] * 3, mesh=mesh)  # 3 % 8 != 0
+
+
 def test_sharded_sampling_matches_single_device(eight_devices):
     """Sampling with data-sharded inputs over the mesh must reproduce the
     single-device result exactly (serving scale-out: one program, batch
