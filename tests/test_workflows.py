@@ -300,3 +300,23 @@ def test_tpe_respects_space():
         assert 0.0 <= cfg["x"] <= 1.0
         assert 1e-5 <= cfg["lr"] <= 1e-2
         opt.observe(cfg, float(i % 7))
+
+
+def test_profiling_utilities(tmp_path, model):
+    """jax.profiler trace context + phase timers produce artifacts."""
+    from chemeleon_tpu.utils.profiling import Timer, profile_sampler
+
+    t = Timer()
+    with t("phase_a"):
+        sum(range(1000))
+    with t("phase_a"):
+        sum(range(1000))
+    rep = t.report()
+    assert "phase_a" in rep
+
+    out = profile_sampler(model, "TiO2", 4, 2,
+                          trace_dir=str(tmp_path / "tr"))
+    for phase in ("text_encode", "device_scan", "host_convert"):
+        assert phase in out and out[phase] >= 0
+    # the jax profiler trace directory was written
+    assert (tmp_path / "tr").exists()
