@@ -137,7 +137,9 @@ def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
 def cli_bench():
     import subprocess
     import sys
-    subprocess.run([sys.executable, "bench.py"], check=True)
+    from pathlib import Path
+    bench = Path(__file__).resolve().parent.parent / "bench.py"
+    subprocess.run([sys.executable, str(bench)], check=True)
 
 
 @cli.command(name="serve", help="Start the streaming inference server.")
