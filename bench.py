@@ -93,7 +93,9 @@ def _validity_pass():
     rng = random.Random(0)
     rng.shuffle(rows)
 
-    n_valid = n_tot = 0
+    from chemeleon_tpu.eval.optimize import SoftSphereCalculator, fire_relax
+    calc = SoftSphereCalculator(radius_scale=0.6)
+    n_valid = n_valid_relaxed = n_tot = 0
     # two dominant buckets; per bucket, 32 real compositions of fitting size
     for bucket in (16, 32):
         fit = [(c, n) for c, n in rows
@@ -102,9 +104,17 @@ def _validity_pass():
         natoms = [n for _, n in fit]
         crystals = model.sample_batch(natoms, texts,
                                       key=jax.random.PRNGKey(bucket))
-        n_valid += sum(structure_validity(c) for c in crystals)
-        n_tot += len(crystals)
-    return n_valid / max(n_tot, 1), n_tot
+        for c in crystals:
+            n_tot += 1
+            if structure_validity(c):
+                n_valid += 1
+                n_valid_relaxed += 1
+            else:
+                # the reference pipeline relaxes generated structures before
+                # use (optimize.py); report post-relax validity separately
+                relaxed, _ = fire_relax(c, calc, steps=60)
+                n_valid_relaxed += structure_validity(relaxed)
+    return (n_valid / max(n_tot, 1), n_valid_relaxed / max(n_tot, 1), n_tot)
 
 
 def run_mix():
@@ -135,10 +145,10 @@ def run_mix():
 
     agg_sps = sum(MP40_BUCKET_MIX.values()) / total_time_708
 
-    valid_frac = None
+    valid_frac = valid_frac_relaxed = None
     n_validity_samples = 0
     if os.environ.get("BENCH_VALID", "1") == "1" and SMOKE_CKPT.exists():
-        valid_frac, n_validity_samples = _validity_pass()
+        valid_frac, valid_frac_relaxed, n_validity_samples = _validity_pass()
 
     return {
         "metric": "mp40_mix_structures_per_sec_per_chip",
@@ -152,9 +162,13 @@ def run_mix():
             "buckets": detail_buckets,
             "time_for_708_structures_s": round(total_time_708, 2),
             "valid_frac": valid_frac,
+            "valid_frac_relaxed": valid_frac_relaxed,
             "valid_frac_note": (
                 f"{n_validity_samples} samples from the smoke-trained "
-                "checkpoint (logs/mp40_smoke), reference validity criterion"
+                "checkpoint (logs/mp40_smoke), real mp-40 composition "
+                "prompts at true atom counts, reference validity criterion; "
+                "_relaxed = after the soft-sphere FIRE stage (the "
+                "reference's optimize.py post-step)"
                 if valid_frac is not None else "smoke checkpoint not found"),
             "backend": jax.default_backend(),
         },
