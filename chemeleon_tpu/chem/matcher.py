@@ -13,9 +13,10 @@ sample_target_composition.py:35,:66 dedupe with angle_tol=10). Algorithm:
      the normalized RMS displacement is within stol.
 
 This is a faithful re-derivation of the published matching criteria (not a
-code port); without spglib there is no primitive-cell reduction, so two cells
-that are exact supercells of each other with different Z are treated as
-distinct (rare among fixed-natoms generations).
+code port). ``primitive_cell=True`` (the pymatgen default) first reduces each
+structure to its primitive cell via pure-translation detection
+(chem/symmetry.py::primitive_structure), so exact supercell pairs with
+different Z match, as they do upstream.
 """
 
 from __future__ import annotations
@@ -58,7 +59,9 @@ class StructureMatcher:
         self.ltol = ltol
         self.stol = stol
         self.angle_tol = angle_tol
+        self.primitive_cell = primitive_cell
         self.scale = scale
+        self._prim_cache: dict = {}  # id(crystal) -> (crystal, primitive)
         self._native = False
         if backend in ("auto", "native"):
             try:
@@ -82,7 +85,20 @@ class StructureMatcher:
                 return False
         return True
 
+    def _primitive(self, s: Crystal) -> Crystal:
+        """Cached primitive reduction (group_structures re-fits the same
+        group representatives many times). Keyed by id with the crystal kept
+        alive in the value so ids cannot be recycled mid-lifetime."""
+        hit = self._prim_cache.get(id(s))
+        if hit is None or hit[0] is not s:
+            from chemeleon_tpu.chem.symmetry import primitive_structure
+            hit = (s, primitive_structure(s))
+            self._prim_cache[id(s)] = hit
+        return hit[1]
+
     def fit(self, s1: Crystal, s2: Crystal) -> bool:
+        if self.primitive_cell:
+            s1, s2 = self._primitive(s1), self._primitive(s2)
         if len(s1) != len(s2):
             return False
         if s1.reduced_composition() != s2.reduced_composition():

@@ -124,20 +124,23 @@ def _has_bijection(dist: np.ndarray, symprec: float) -> bool:
     nearest = dist.argmin(axis=1)
     if len(set(nearest.tolist())) == len(nearest):
         return True  # nearest-neighbor map is already a permutation
-    try:
-        from scipy.optimize import linear_sum_assignment
-    except ImportError:  # greedy fallback (adequate at n <= 40)
-        d = dist.copy()
-        for _ in range(len(d)):
-            i, j = np.unravel_index(np.argmin(d), d.shape)
-            if d[i, j] > symprec:
-                return False
-            d[i, :] = np.inf
-            d[:, j] = np.inf
-        return True
-    cost = np.where(dist <= symprec, dist, 1e6)
-    rows, cols = linear_sum_assignment(cost)
-    return bool((dist[rows, cols] <= symprec).all())
+    # existence of a perfect matching in the boolean graph dist <= symprec:
+    # augmenting-path bipartite matching (exact; greedy min-picking can
+    # wrongly reject — it may lock a pair whose row has the only alternative)
+    ok = dist <= symprec
+    n = len(ok)
+    match_col = [-1] * n  # column j -> matched row
+
+    def _augment(i: int, seen: List[bool]) -> bool:
+        for j in range(n):
+            if ok[i, j] and not seen[j]:
+                seen[j] = True
+                if match_col[j] < 0 or _augment(match_col[j], seen):
+                    match_col[j] = i
+                    return True
+        return False
+
+    return all(_augment(i, [False] * n) for i in range(n))
 
 
 _ROT_TYPE = {  # (det, trace) -> rotation type label
@@ -179,3 +182,97 @@ def crystal_system(crystal, symprec: float = 0.1) -> str:
 def spacegroup_size(crystal, symprec: float = 0.1) -> int:
     """Number of space-group operations (order of the factor group)."""
     return len(find_symmetry_operations(crystal, symprec))
+
+
+def find_pure_translations(crystal, symprec: float = 0.1) -> np.ndarray:
+    """Fractional translations t (including 0) that map the structure onto
+    itself within ``symprec`` (Cartesian Å, periodic). [K, 3].
+
+    These are the W = identity space-group operations; K > 1 means the cell
+    is a K-fold supercell of a smaller primitive cell."""
+    frac = np.asarray(crystal.frac_coords, np.float64) % 1.0
+    lat = np.asarray(crystal.lattice, np.float64)
+    types = np.asarray(crystal.atom_types)
+    n = len(types)
+    if n == 0:
+        return np.zeros((1, 3))
+
+    uniq, counts = np.unique(types, return_counts=True)
+    anchor_type = uniq[np.argmin(counts)]
+    anchor_idx = np.where(types == anchor_type)[0]
+    i0 = anchor_idx[0]
+
+    found = [np.zeros(3)]
+    for j in anchor_idx:
+        if j == i0:
+            continue
+        t = (frac[j] - frac[i0]) % 1.0
+        img = (frac + t) % 1.0
+        d = img[:, None, :] - frac[None, :, :]
+        d -= np.round(d)
+        dist = np.linalg.norm(d @ lat, axis=-1)
+        dist = np.where(types[None, :] == types[:, None], dist, np.inf)
+        if np.all(dist.min(axis=1) <= symprec) and \
+                _has_bijection(dist, symprec):
+            found.append(t)
+    return np.asarray(found)
+
+
+def primitive_structure(crystal, symprec: float = 0.1):
+    """Smallest-cell description of the same crystal (pymatgen
+    ``Structure.get_primitive_structure`` semantics, used implicitly by the
+    reference's StructureMatcher(primitive_cell=True), evaluate.py:198-204).
+
+    Finds the pure translations, builds the minimal-volume cell they span
+    (together with the current basis vectors), re-expresses the sites in it
+    and deduplicates. Returns the input unchanged when already primitive or
+    when the detected translations are inconsistent (noisy near-symmetric
+    cells)."""
+    from chemeleon_tpu.chem.structure import Crystal
+
+    trans = find_pure_translations(crystal, symprec)
+    k = len(trans)
+    if k <= 1:
+        return crystal
+
+    # candidate primitive basis vectors, in the current fractional basis
+    import itertools as _it
+    cands = np.concatenate([trans[1:], np.eye(3)], axis=0)
+    target = 1.0 / k
+    best = None
+    for tri in _it.combinations(range(len(cands)), 3):
+        det = abs(np.linalg.det(cands[list(tri)]))
+        if abs(det - target) < 0.05 * target:
+            best = cands[list(tri)]
+            break
+    if best is None:
+        return crystal  # translations do not close into a k-fold sublattice
+
+    lat = np.asarray(crystal.lattice, np.float64)
+    new_lat = best @ lat
+    frac = np.asarray(crystal.frac_coords, np.float64)
+    new_frac = (frac @ lat @ np.linalg.inv(new_lat)) % 1.0
+    types = np.asarray(crystal.atom_types)
+
+    # deduplicate sites that fold onto each other in the small cell
+    keep_idx: List[int] = []
+    for i in range(len(types)):
+        dup = False
+        for j in keep_idx:
+            if types[i] != types[j]:
+                continue
+            d = new_frac[i] - new_frac[j]
+            d -= np.round(d)
+            if np.linalg.norm(d @ new_lat) <= symprec:
+                dup = True
+                break
+        if not dup:
+            keep_idx.append(i)
+    if len(keep_idx) * k != len(types):
+        return crystal  # inconsistent folding — refuse to guess
+
+    red_lat = niggli_reduce(new_lat)
+    red_frac = (new_frac[keep_idx] @ new_lat @ np.linalg.inv(red_lat)) % 1.0
+    return Crystal(lattice=red_lat.astype(np.float64),
+                   frac_coords=red_frac,
+                   atom_types=types[keep_idx].copy())

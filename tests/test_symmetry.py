@@ -144,3 +144,74 @@ def test_mp40_ground_truth_agreement():
     ok = sum(crystal_system(parse_cif(r["cif"]), 0.1)
              == r["crystal_system"].lower() for r in rows)
     assert ok / len(rows) >= 0.97
+
+
+# -- primitive-cell reduction -------------------------------------------------
+
+def _supercell_2x(crystal, axis=0):
+    """2x supercell of a Crystal along one lattice vector."""
+    scale = np.ones(3)
+    scale[axis] = 2.0
+    new_lat = crystal.lattice * scale[:, None]
+    f = crystal.frac_coords / scale[None, :]
+    shift = np.zeros(3)
+    shift[axis] = 0.5
+    frac = np.concatenate([f, (f + shift) % 1.0], axis=0)
+    types = np.concatenate([crystal.atom_types, crystal.atom_types])
+    return Crystal(new_lat, frac, types)
+
+
+def test_primitive_of_conventional_rocksalt():
+    """Conventional NaCl (8 atoms, fcc centering) -> 2-atom primitive cell
+    at 1/4 the volume (pymatgen get_primitive_structure semantics)."""
+    from chemeleon_tpu.chem.symmetry import primitive_structure
+
+    a = 5.64
+    na = [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]
+    cl = [[0.5, 0, 0], [0, 0.5, 0], [0, 0, 0.5], [0.5, 0.5, 0.5]]
+    conv = Crystal(np.eye(3) * a, np.asarray(na + cl, float),
+                   [11] * 4 + [17] * 4)
+    prim = primitive_structure(conv)
+    assert len(prim) == 2
+    assert sorted(prim.atom_types.tolist()) == [11, 17]
+    assert np.isclose(prim.volume, conv.volume / 4.0, rtol=1e-6)
+
+
+def test_primitive_noop_when_already_primitive():
+    from chemeleon_tpu.chem.symmetry import primitive_structure
+
+    c = _crystal(4, 4, 4, 90, 90, 90,
+                 [[0, 0, 0], [0.5, 0.5, 0.5]], [55, 17])
+    assert primitive_structure(c) is c
+
+
+def test_primitive_recovers_cell_from_supercell():
+    """2x1x1 supercell of a generic 3-atom cell folds back to 3 atoms and
+    matches the original under the StructureMatcher."""
+    from chemeleon_tpu.chem.matcher import StructureMatcher
+    from chemeleon_tpu.chem.symmetry import primitive_structure
+
+    base = _crystal(4, 5, 6, 90, 90, 90,
+                    [[0.1, 0.2, 0.3], [0.6, 0.4, 0.8], [0.9, 0.9, 0.1]],
+                    [22, 8, 8])
+    sup = _supercell_2x(base, axis=1)
+    assert len(sup) == 6
+    prim = primitive_structure(sup)
+    assert len(prim) == 3
+    assert np.isclose(prim.volume, base.volume, rtol=1e-6)
+    assert StructureMatcher().fit(prim, base)
+
+
+def test_matcher_matches_supercell_pairs_iff_primitive_cell():
+    """primitive_cell=True (the upstream default) lets a cell match its own
+    2x supercell; primitive_cell=False keeps them distinct."""
+    from chemeleon_tpu.chem.matcher import StructureMatcher
+
+    base = _crystal(4, 5, 6, 90, 90, 90,
+                    [[0.0, 0.0, 0.0], [0.5, 0.5, 0.5], [0.25, 0.5, 0.75]],
+                    [22, 8, 8])
+    sup = _supercell_2x(base, axis=2)
+    assert StructureMatcher(primitive_cell=True).fit(base, sup)
+    assert not StructureMatcher(primitive_cell=False).fit(base, sup)
+    groups = StructureMatcher().group_structures([base, sup])
+    assert len(groups) == 1
