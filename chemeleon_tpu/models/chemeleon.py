@@ -313,6 +313,11 @@ class Chemeleon:
 
     def __init__(self, config: ChemeleonConfig,
                  text_backend: str = "auto"):
+        # every consumer (CLI, server, scripts, notebooks) benefits from the
+        # cross-process XLA cache; no-ops if the process configured its own
+        from chemeleon_tpu.utils.compilation_cache import (
+            enable_persistent_compilation_cache)
+        enable_persistent_compilation_cache()
         self.cfg = config
         self.decoder = build_decoder(config)
         # one decoder for training and sampling: the XLA compute schedule won
@@ -445,11 +450,15 @@ class Chemeleon:
             batch_natoms = shard(batch_natoms)
             text_embeds = shard(text_embeds)
             null_embeds = shard(null_embeds)
-            # replicate params once per mesh, not per call (serving hot path)
-            cache_key = id(mesh)
-            if getattr(self, "_mesh_params_key", None) != cache_key:
+            # replicate params once per (mesh, params), not per call (serving
+            # hot path). Identity-compare BOTH sources and keep them alive in
+            # the cache entry: keying on id(mesh) alone served stale weights
+            # after init_params()/fit()/load reassigned self.params.
+            cached = getattr(self, "_mesh_params_src", None)
+            if (cached is None or cached[0] is not mesh
+                    or cached[1] is not decoder_params):
                 self._mesh_params = replicate(mesh, decoder_params)
-                self._mesh_params_key = cache_key
+                self._mesh_params_src = (mesh, decoder_params)
             decoder_params = self._mesh_params
 
         run = self._get_compiled_sampler(B, N, return_trajectory, None)

@@ -50,6 +50,7 @@ class _PendingRequest:
         self.event = threading.Event()
         self.result: Optional[List[Crystal]] = None
         self.error: Optional[str] = None
+        self.cancelled = False  # set when the waiting handler gave up
 
 
 class ChemeleonServer:
@@ -83,6 +84,8 @@ class ChemeleonServer:
                 first = self._queue.get(timeout=0.1)
             except queue.Empty:
                 continue
+            if first.cancelled:  # client already timed out — don't burn a
+                continue         # full device scan on a dead request
             batch = [first]
             total = first.n_samples
             deadline = time.monotonic() + self.batch_window_s
@@ -94,6 +97,8 @@ class ChemeleonServer:
                     item = self._queue.get(timeout=remaining)
                 except queue.Empty:
                     break
+                if item.cancelled:
+                    continue
                 if total + item.n_samples > self.max_batch:
                     self._queue.put(item)  # keep the memory cap strict
                     break
@@ -119,10 +124,13 @@ class ChemeleonServer:
 
     def generate(self, req: dict, timeout: float = 600.0) -> List[Crystal]:
         """Enqueue one request into the dynamic batch and wait for results."""
+        if self._stop.is_set():
+            raise RuntimeError("server shutting down")
         pending = _PendingRequest(req["n_samples"], req["n_atoms"],
                                   req["text_input"])
         self._queue.put(pending)
         if not pending.event.wait(timeout):
+            pending.cancelled = True  # collector will skip it if still queued
             raise TimeoutError("generate timed out")
         if pending.error is not None:
             raise RuntimeError(pending.error)
@@ -130,10 +138,21 @@ class ChemeleonServer:
 
     # -- request handling -----------------------------------------------------
     def decode_request(self, body: dict) -> dict:
-        """(reference server.py:12-20)"""
+        """(reference server.py:12-20) — validated: a single oversized
+        request must not bypass the max_batch device-memory cap that the
+        coalescing loop enforces for everyone else."""
+        n_samples = int(body.get("n_samples", 1))
+        n_atoms = int(body.get("n_atoms", 4))
+        if not 1 <= n_samples <= self.max_batch:
+            raise ValueError(
+                f"n_samples must be in [1, {self.max_batch}], got {n_samples}")
+        max_atoms = max(self.model.cfg.pad_buckets)
+        if not 1 <= n_atoms <= max_atoms:
+            raise ValueError(
+                f"n_atoms must be in [1, {max_atoms}], got {n_atoms}")
         return {
-            "n_samples": int(body.get("n_samples", 1)),
-            "n_atoms": int(body.get("n_atoms", 4)),
+            "n_samples": n_samples,
+            "n_atoms": n_atoms,
             "text_input": body.get("text_input", ""),
         }
 
@@ -236,20 +255,27 @@ class ChemeleonServer:
         finally:
             self._stop.set()
 
-    def shutdown(self):
-        self._stop.set()
-        # fail fast for requests still queued — their handler threads would
-        # otherwise block until the client timeout
+    def _drain_queue(self, msg: str):
         while True:
             try:
                 pending = self._queue.get_nowait()
             except queue.Empty:
                 break
-            pending.error = "server shutting down"
+            pending.error = msg
             pending.event.set()
+
+    def shutdown(self):
+        self._stop.set()
+        # fail fast for requests still queued — their handler threads would
+        # otherwise block until the client timeout
+        self._drain_queue("server shutting down")
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd = None
+        # a handler racing shutdown can enqueue between the first drain and
+        # generate()'s _stop check; sweep once more now that no new handler
+        # threads can start
+        self._drain_queue("server shutting down")
 
 
 def main():

@@ -165,6 +165,10 @@ class ClipTrainer:
             start_epoch = meta["epoch"] + 1
         if self.mesh is not None:
             params = replicate(self.mesh, params)
+            if restored_opt is not None:
+                # orbax restores onto a single device; the jitted step needs
+                # params and opt_state on the same device set
+                restored_opt = replicate(self.mesh, restored_opt)
         opt_state = restored_opt if restored_opt is not None \
             else self.tx.init(params)
 

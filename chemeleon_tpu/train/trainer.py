@@ -129,6 +129,28 @@ class Trainer:
             start_epoch = meta["epoch"] + 1
         if self.mesh is not None:
             params = shard_params(self.mesh, params)
+            if restored_opt is not None:
+                # orbax restored (committed) onto a single device; move every
+                # leaf to the mesh or the jitted step sees incompatible
+                # device sets. mu/nu leaves take the sharding a fresh init
+                # has (mirrors the TP-sharded params); leaves whose fresh
+                # counterpart is not mesh-placed (e.g. scalar step counts,
+                # eagerly created on the default device) are replicated.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                like = self.tx.init(params)
+                repl = NamedSharding(self.mesh, P())
+
+                def _place(x, l):
+                    if not isinstance(l, jax.Array):
+                        return x
+                    sh = l.sharding
+                    if not (isinstance(sh, NamedSharding)
+                            and sh.mesh == self.mesh):
+                        sh = repl
+                    return jax.device_put(x, sh)
+
+                restored_opt = jax.tree.map(_place, restored_opt, like)
         self.model.params = params
         opt_state = restored_opt if restored_opt is not None \
             else self.tx.init(params)

@@ -46,7 +46,10 @@ def main() -> None:
                        n_startup=(args.count if args.method == "random"
                                   else min(10, max(3, args.count // 5))))
     results = []
-    worst = 1.0
+    # Failure penalty must rank BELOW every legitimate loss, including ones
+    # observed later: a fixed "worst*10" seeded at 1.0 could rank an early
+    # crash as the best observation and pull TPE toward the crashing region.
+    FAIL_PENALTY = 1e9
     for trial in range(args.count):
         overrides = opt.suggest()
         cfg = get_config(args.named_config,
@@ -55,15 +58,15 @@ def main() -> None:
             tr = Trainer(cfg)
             out = tr.fit(max_epochs=args.max_epochs)
             loss = out["best_val_loss"]
+            if not np.isfinite(loss):  # diverged without raising
+                raise FloatingPointError(f"non-finite val loss: {loss}")
             opt.observe(overrides, loss)
-            if np.isfinite(loss):
-                worst = max(worst, loss)
             results.append({"trial": trial, **overrides,
                             "best_val_loss": loss})
         except Exception as e:
             # teach the optimizer that this region crashes/diverges —
             # otherwise TPE keeps re-proposing NaN-loss configs
-            opt.observe(overrides, worst * 10.0)
+            opt.observe(overrides, FAIL_PENALTY)
             results.append({"trial": trial, **overrides, "error": str(e)})
         Path("sweep_results.json").write_text(json.dumps(results, indent=2))
     best = min((r for r in results if "best_val_loss" in r),

@@ -229,3 +229,25 @@ def test_sharded_sampling_matches_single_device(eight_devices):
         np.testing.assert_array_equal(types[i, :6], c.atom_types)
         np.testing.assert_allclose(coords[i, :6] % 1.0, c.frac_coords,
                                    atol=1e-6)
+
+
+def test_mesh_sampling_uses_current_params(eight_devices):
+    """The replicated-params cache must refresh when model params change
+    (regression: keying on id(mesh) alone served STALE weights after
+    init_params/fit/load reassigned model.params)."""
+    cfg = get_config(None, **TINY)
+    model = Chemeleon(cfg, text_backend="hash")
+    model.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh((8, 1), devices=eight_devices)
+    key = jax.random.PRNGKey(7)
+    with mesh:
+        model.sample_batch([6] * 8, ["TiO2"] * 8, key=key, mesh=mesh)
+
+    model.init_params(jax.random.PRNGKey(42))  # new weights, same mesh
+    single = model.sample_batch([6] * 8, ["TiO2"] * 8, key=key)
+    with mesh:
+        sharded = model.sample_batch([6] * 8, ["TiO2"] * 8, key=key,
+                                     mesh=mesh)
+    for a, b in zip(single, sharded):
+        np.testing.assert_array_equal(a.atom_types, b.atom_types)
+        np.testing.assert_allclose(a.frac_coords, b.frac_coords, atol=1e-6)

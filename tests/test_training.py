@@ -4,6 +4,7 @@ trainer (checkpoint/resume/early-stop plumbing) and CLIP trainer."""
 import csv
 import json
 import os
+from pathlib import Path
 
 import jax
 import numpy as np
@@ -359,3 +360,34 @@ def test_resume_restores_optimizer_state(data_dir, tmp_path):
                 for x in jax.tree.leaves(opt_state)
                 if hasattr(x, "shape") and getattr(x, "size", 0) > 1)
     assert total > 0
+
+
+def test_trainer_mesh_resume(data_dir, tmp_path, eight_devices):
+    """Resume on a mesh: the orbax-restored opt state must be re-placed onto
+    the mesh device set (regression: params were sharded but opt_state stayed
+    on one device -> 'incompatible devices for jitted computation')."""
+    from chemeleon_tpu.train.trainer import Trainer
+    cfg = get_config("chemeleon_bert_prompt", data_dir=data_dir,
+                     log_dir=str(tmp_path / "logs_mr"), mesh_shape=(8, 1),
+                     **TINY)
+    tr = Trainer(cfg, text_backend="hash")
+    tr.fit(max_epochs=1)
+    tr2 = Trainer(cfg, text_backend="hash")
+    out = tr2.fit(max_epochs=2, resume_from=str(tr.ckpt_dir / "last"))
+    assert out["epochs"] == 2
+    assert np.isfinite(out["best_val_loss"])
+
+
+def test_clip_trainer_mesh_resume(data_dir, tmp_path, eight_devices):
+    """Same regression for the CLIP trainer (replicated params + restored
+    opt state must land on the same device set)."""
+    from chemeleon_tpu.train.clip_trainer import ClipTrainer
+    cfg = get_config("clip_prompt", data_dir=data_dir,
+                     log_dir=str(tmp_path / "logs_cmr"), mesh_shape=(8, 1),
+                     **{**TINY, "batch_size": 8})
+    tr = ClipTrainer(cfg, text_backend="hash")
+    tr.fit(max_epochs=1)
+    tr2 = ClipTrainer(cfg, text_backend="hash")
+    out = tr2.fit(max_epochs=2,
+                  resume_from=str(Path(tr.ckpt_dir) / "last"))
+    assert np.isfinite(out["best_val_loss"])

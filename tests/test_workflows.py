@@ -320,3 +320,38 @@ def test_profiling_utilities(tmp_path, model):
         assert phase in out and out[phase] >= 0
     # the jax profiler trace directory was written
     assert (tmp_path / "tr").exists()
+
+
+def test_server_rejects_oversized_and_bad_requests(model):
+    """A single oversized /generate request must not bypass the max_batch
+    device-memory cap (it is rejected 400 up front), and n_atoms beyond the
+    largest padding bucket is likewise a client error, not an OOM."""
+    import urllib.error
+    import urllib.request
+    from chemeleon_tpu.serve.server import ChemeleonServer
+
+    port = _free_port()
+    server = ChemeleonServer(model=model, host="127.0.0.1", port=port,
+                             max_batch=8)
+    server.run(background=True)
+    try:
+        url = f"http://127.0.0.1:{port}"
+
+        def post(body):
+            req = urllib.request.Request(
+                url + "/generate", data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"})
+            return urllib.request.urlopen(req, timeout=60)
+
+        for bad in [{"n_samples": 100000, "n_atoms": 4},
+                    {"n_samples": 0, "n_atoms": 4},
+                    {"n_samples": 1, "n_atoms": 10 ** 6}]:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                post(bad)
+            assert ei.value.code == 400
+        # an in-range request on the same server still succeeds
+        with post({"n_samples": 1, "n_atoms": 4, "text_input": "TiO2"}) as r:
+            assert r.status == 200
+            assert len(json.loads(r.read())["atoms"]) == 1
+    finally:
+        server.shutdown()
