@@ -4,9 +4,9 @@ North star (BASELINE.json / BASELINE.md): 1000 valid mp-40-scale structures
 via 1000-step predictor-corrector DDPM in <60 s on a v5e-8 slice
 => 2.083 structures/s/chip.
 
-Default mode is the REAL workload: the mp-40 test set's bucket mix
-{8: 36, 16: 137, 24: 146, 32: 99, 40: 290 structures} (reference
-evaluate.py:26-28 runs exactly this set). Each bucket is timed with the
+Default mode is the REAL workload: the 708 structures of the mp-40 test set,
+bucketed by atom count (reference evaluate.py:26-28 runs exactly this set;
+see MP40_BUCKET_MIX for the histogram). Each bucket is timed with the
 full-size score net (hidden 512, 6 layers, 128 freqs, CFG cond_scale=2.0 —
 2 decoder forwards of batch 2B per step, bf16) and the headline `value` is
 the throughput-weighted aggregate: 708 structures / sum(count_N / sps_N).
@@ -36,12 +36,19 @@ import numpy as np
 
 BASELINE_STRUCTURES_PER_SEC_PER_CHIP = 1000.0 / 60.0 / 8.0  # 2.0833
 
-# mp-40 test.csv natoms histogram by padding bucket (708 rows).
-MP40_BUCKET_MIX = {8: 36, 16: 137, 24: 146, 32: 99, 40: 290}
-# Best measured batch size per bucket (BENCH.md round-2 sweep: big batches
-# win at small N; at N>=32 smaller batches relieve HBM pressure on the
-# [R*B, N, N, H] edge tensors — B=32 at N=40 is +11% over B=64).
-BUCKET_BATCH = {8: 128, 16: 128, 24: 48, 32: 32, 40: 32}
+# mp-40 test.csv natoms histogram by padding bucket (708 rows). Finer
+# buckets than the original {8,16,24,32,40} grid: edge work is O(N^2), so
+# splitting the heavy 33-40 bucket (36: 131 rows at (36/40)^2 = 0.81x the
+# pair work) and the 17-24 bucket (20: 127 rows) cuts padding waste — same
+# 708 structures, ~12% less wall time (BENCH.md round-2 bucket sweep).
+MP40_BUCKET_MIX = {8: 36, 12: 54, 16: 83, 20: 127, 24: 19, 32: 99, 36: 131,
+                   40: 159}
+# Best measured batch size per bucket (BENCH.md sweeps: big batches win at
+# small N; at N>=32 smaller batches relieve HBM pressure on the
+# [R*B, N, N, H] edge tensors — except N=36 where B=48 aligns better:
+# 4.12/s vs 3.38 at B=32).
+BUCKET_BATCH = {8: 128, 12: 128, 16: 128, 20: 64, 24: 48, 32: 32, 36: 48,
+                40: 32}
 
 SMOKE_CKPT = Path(__file__).parent / "logs" / "mp40_smoke" / "checkpoints" / "best"
 
@@ -87,19 +94,29 @@ def _validity_pass():
     model = Chemeleon.load_from_checkpoint(str(SMOKE_CKPT))
     csv.field_size_limit(10 ** 9)
     with open(Path(__file__).parent / "data" / "mp-40" / "test.csv") as f:
-        # natoms from the CIF (the composition column is the REDUCED formula)
-        rows = [(r["composition"], len(parse_cif(r["cif"])))
-                for r in csv.DictReader(f)]
+        raw_rows = list(csv.DictReader(f))
     rng = random.Random(0)
-    rng.shuffle(rows)
+    rng.shuffle(raw_rows)
+
+    def _first_fitting(lo: int, hi: int, limit: int):
+        """Parse CIFs lazily: ~100 parses to pick 32 rows instead of all 38k
+        (the composition column is the REDUCED formula, so natoms must come
+        from the CIF)."""
+        out = []
+        for r in raw_rows:
+            n = len(parse_cif(r["cif"]))
+            if lo < n <= hi:
+                out.append((r["composition"], n))
+                if len(out) >= limit:
+                    break
+        return out
 
     from chemeleon_tpu.eval.optimize import SoftSphereCalculator, fire_relax
     calc = SoftSphereCalculator(radius_scale=0.6)
     n_valid = n_valid_relaxed = n_tot = 0
     # two dominant buckets; per bucket, 32 real compositions of fitting size
     for bucket in (16, 32):
-        fit = [(c, n) for c, n in rows
-               if bucket - 8 < n <= bucket][:32]
+        fit = _first_fitting(bucket - 8, bucket, 32)
         texts = [c for c, _ in fit]
         natoms = [n for _, n in fit]
         crystals = model.sample_batch(natoms, texts,

@@ -99,6 +99,9 @@ class CrystalClip:
     compute_contrastive_loss)."""
 
     def __init__(self, cfg: ChemeleonConfig, text_backend: str = "auto"):
+        from chemeleon_tpu.utils.compilation_cache import (
+            enable_persistent_compilation_cache)
+        enable_persistent_compilation_cache()
         self.cfg = cfg
         self.graph_tower = GraphTower(cfg)
         self.text_head = TextProjHead(cfg)
