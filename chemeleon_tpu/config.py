@@ -105,7 +105,12 @@ class ChemeleonConfig:
 
     # ---- TPU-native additions (not in reference) ----
     # Static-shape padding: graphs are padded to the smallest bucket >= natoms.
-    pad_buckets: Tuple[int, ...] = (8, 16, 24, 32, 40, 48)
+    # Finer grid than {8,16,24,32,40}: edge work is O(N^2), so splitting the
+    # heavy mp-40 buckets (20: 127 rows, 36: 131 rows) cuts padding waste —
+    # measured ~12% less wall time over the full test set (BENCH.md round-2
+    # bucket sweep). More buckets = more compiled shapes; the persistent
+    # compilation cache (utils/compilation_cache.py) amortizes that.
+    pad_buckets: Tuple[int, ...] = (8, 12, 16, 20, 24, 32, 36, 40, 48)
     # Device mesh (data, model); total must divide jax.device_count() at use time.
     mesh_shape: Tuple[int, int] = (1, 1)
     # Compute dtype for the score network ("float32" | "bfloat16"); params stay f32.

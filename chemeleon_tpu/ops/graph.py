@@ -67,7 +67,7 @@ def pick_bucket(n: int, buckets: Sequence[int]) -> int:
 
 
 def make_empty_batch(natoms: Sequence[int], n_max: int | None = None,
-                     buckets: Sequence[int] = (8, 16, 24, 32, 40, 48)) -> CrystalBatch:
+                     buckets: Sequence[int] = (8, 12, 16, 20, 24, 32, 36, 40, 48)) -> CrystalBatch:
     """Build a zero-initialized batch for sampling (reference builds an empty
     PyG Batch at chemeleon.py:335-337)."""
     natoms_arr = np.asarray(natoms, dtype=np.int32)
@@ -85,7 +85,7 @@ def batch_from_arrays(atom_types_list: List[np.ndarray],
                       frac_coords_list: List[np.ndarray],
                       lattices_list: List[np.ndarray],
                       n_max: int | None = None,
-                      buckets: Sequence[int] = (8, 16, 24, 32, 40, 48)) -> CrystalBatch:
+                      buckets: Sequence[int] = (8, 12, 16, 20, 24, 32, 36, 40, 48)) -> CrystalBatch:
     """Pad a list of variable-size crystals into one dense batch."""
     natoms = np.asarray([len(a) for a in atom_types_list], dtype=np.int32)
     if n_max is None:

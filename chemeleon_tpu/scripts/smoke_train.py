@@ -47,9 +47,14 @@ def main() -> None:
     ap.add_argument("--data-dir", default=".data_cache/mp40-smoke")
     ap.add_argument("--log-dir", default="logs")
     ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--exp-name", default="mp40_smoke")
     ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--scheduler", default="constant",
+                    choices=["constant", "cosine", "linear_decay",
+                             "reduce_on_plateau"])
     ap.add_argument("--eval-rows", type=int, default=8)
     ap.add_argument("--eval-samples", type=int, default=8)
     args = ap.parse_args()
@@ -62,10 +67,10 @@ def main() -> None:
 
     cfg = get_config(
         "chemeleon_bert_composition",
-        exp_name="mp40_smoke", data_dir=args.data_dir, log_dir=args.log_dir,
+        exp_name=args.exp_name, data_dir=args.data_dir, log_dir=args.log_dir,
         hidden_dim=args.hidden, num_layers=args.layers, num_freqs=64,
         time_dim=64, text_dim=128, text_embed_dim=128, batch_size=args.batch,
-        lr=3e-4, scheduler="constant", early_stopping=10 ** 6,
+        lr=args.lr, scheduler=args.scheduler, early_stopping=10 ** 6,
         max_epochs=args.epochs)
     trainer = Trainer(cfg, text_backend="hash")
     result = trainer.fit()
@@ -79,7 +84,7 @@ def main() -> None:
                           test_data=Path(args.data_dir) / "test.csv",
                           n_samples=args.eval_samples,
                           max_rows=args.eval_rows,
-                          save_path=Path(args.log_dir) / "mp40_smoke_eval",
+                          save_path=Path(args.log_dir) / f"{args.exp_name}_eval",
                           progress=False)
     print(json.dumps(means))
 
