@@ -54,14 +54,13 @@ SMOKE_CKPT = Path(__file__).parent / "logs" / "mp40_smoke" / "checkpoints" / "be
 
 
 def _enable_compilation_cache():
-    """Persistent XLA compilation cache: the mix bench compiles 7+ sampler
+    """Persistent XLA compilation cache: the mix bench compiles 8+ sampler
     shapes (20-60 s each through the TPU tunnel); warm runs skip all of it."""
-    import jax
+    from chemeleon_tpu.utils.compilation_cache import (
+        enable_persistent_compilation_cache)
 
-    cache_dir = Path(__file__).parent / ".cache" / "jax_compilation"
-    cache_dir.mkdir(parents=True, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_persistent_compilation_cache(
+        Path(__file__).parent / ".cache" / "jax_compilation")
 
 
 def _time_bucket(model, n_atoms: int, batch_size: int, key_seed: int):
@@ -164,7 +163,12 @@ def run_mix():
 
     valid_frac = valid_frac_relaxed = None
     n_validity_samples = 0
-    if os.environ.get("BENCH_VALID", "1") == "1" and SMOKE_CKPT.exists():
+    if os.environ.get("BENCH_VALID", "1") != "1":
+        skip_reason = "validity pass skipped (BENCH_VALID=0)"
+    elif not SMOKE_CKPT.exists():
+        skip_reason = "smoke checkpoint not found"
+    else:
+        skip_reason = None
         valid_frac, valid_frac_relaxed, n_validity_samples = _validity_pass()
 
     return {
@@ -186,7 +190,7 @@ def run_mix():
                 "prompts at true atom counts, reference validity criterion; "
                 "_relaxed = after the soft-sphere FIRE stage (the "
                 "reference's optimize.py post-step)"
-                if valid_frac is not None else "smoke checkpoint not found"),
+                if valid_frac is not None else skip_reason),
             "backend": jax.default_backend(),
         },
     }

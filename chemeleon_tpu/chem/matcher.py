@@ -61,7 +61,12 @@ class StructureMatcher:
         self.angle_tol = angle_tol
         self.primitive_cell = primitive_cell
         self.scale = scale
-        self._prim_cache: dict = {}  # id(crystal) -> (crystal, primitive)
+        # id(crystal) -> (crystal, primitive); LRU-bounded so a long-lived
+        # matcher (e.g. dedup across a sampling campaign) cannot retain every
+        # crystal ever fitted
+        from collections import OrderedDict
+        self._prim_cache: "OrderedDict" = OrderedDict()
+        self._prim_cache_max = 2048
         self._native = False
         if backend in ("auto", "native"):
             try:
@@ -94,6 +99,10 @@ class StructureMatcher:
             from chemeleon_tpu.chem.symmetry import primitive_structure
             hit = (s, primitive_structure(s))
             self._prim_cache[id(s)] = hit
+            while len(self._prim_cache) > self._prim_cache_max:
+                self._prim_cache.popitem(last=False)
+        else:
+            self._prim_cache.move_to_end(id(s))
         return hit[1]
 
     def fit(self, s1: Crystal, s2: Crystal) -> bool:

@@ -26,8 +26,27 @@ import numpy as np
 from chemeleon_tpu.chem.elements import COVALENT_RADII, symbol_of
 from chemeleon_tpu.chem.structure import Crystal
 
-_OFFSETS = np.array([[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
-                     for k in (-1, 0, 1)], dtype=np.float64)
+def _pbc_offsets(lattice: np.ndarray, rcut: float,
+                 max_rep: int = 4) -> np.ndarray:
+    """Integer image offsets covering every periodic image within ``rcut``.
+
+    A fixed -1..1 range silently drops in-range neighbors when a cell axis
+    is shorter than rcut (e.g. a 3 A axis with rcut=8 A needs images 2-3
+    cells away). Per axis, the number of repeats is ceil(rcut / d_i) where
+    d_i is the perpendicular spacing of the i-planes (V / |a_j x a_k|).
+    Generated (unrelaxed) cells can be near-singular, so repeats are capped
+    at ``max_rep`` per axis to bound the image count."""
+    V = abs(float(np.linalg.det(lattice)))
+    reps = []
+    for i in range(3):
+        cross = np.cross(lattice[(i + 1) % 3], lattice[(i + 2) % 3])
+        d = V / max(np.linalg.norm(cross), 1e-12)
+        reps.append(min(max_rep, max(1, int(np.ceil(rcut / max(d, 1e-12))))))
+    return np.array([[i, j, k]
+                     for i in range(-reps[0], reps[0] + 1)
+                     for j in range(-reps[1], reps[1] + 1)
+                     for k in range(-reps[2], reps[2] + 1)],
+                    dtype=np.float64)
 
 
 class SoftSphereCalculator:
@@ -42,7 +61,9 @@ class SoftSphereCalculator:
         cart = st.cart_coords
         radii = np.array([COVALENT_RADII.get(symbol_of(int(z)), 1.2)
                           for z in st.atom_types]) * self.radius_scale
-        img = _OFFSETS @ st.lattice
+        # interaction range = largest pair overlap distance
+        img = _pbc_offsets(st.lattice, 2.0 * float(radii.max(initial=0.0))
+                           ) @ st.lattice
         energy = 0.0
         forces = np.zeros((n, 3))
         for i in range(n):
@@ -79,7 +100,7 @@ class LennardJonesCalculator:
         cart = st.cart_coords
         radii = np.array([COVALENT_RADII.get(symbol_of(int(z)), 1.2)
                           for z in st.atom_types]) * self.sigma_scale
-        img = _OFFSETS @ st.lattice
+        img = _pbc_offsets(st.lattice, self.rcut) @ st.lattice
         energy = 0.0
         forces = np.zeros((n, 3))
         for i in range(n):

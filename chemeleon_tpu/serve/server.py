@@ -72,18 +72,38 @@ class ChemeleonServer:
         self._lock = threading.Lock()  # one compiled scan at a time
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._queue: "queue.Queue[_PendingRequest]" = queue.Queue()
+        # serializes enqueue vs shutdown so no request can slip in after the
+        # final drain (see generate()/shutdown())
+        self._queue_guard = threading.Lock()
         self._stop = threading.Event()
         self._collector: Optional[threading.Thread] = None
+        # an overflow request carried to the FRONT of the next window (FIFO
+        # fairness: re-queuing to the tail would let later arrivals starve it)
+        self._carry: Optional[_PendingRequest] = None
         self.batch_calls = 0  # device calls served by /generate (telemetry)
 
     # -- dynamic batching ------------------------------------------------------
+    def _quantize_batch(self, total: int) -> int:
+        """Round the coalesced sample count UP to a fixed ladder so the
+        compiled sampler shapes are bounded (every distinct batch size is a
+        fresh 20s+ XLA compile; arbitrary coalesced totals would stall the
+        device lock on novel shapes indefinitely). Extra rows are dummy
+        samples discarded after the scan."""
+        b = 1
+        while b < total:
+            b *= 2
+        return min(b, self.max_batch)
+
     def _collect_loop(self):
         """Coalesce concurrent /generate requests into one sample_batch."""
         while not self._stop.is_set():
-            try:
-                first = self._queue.get(timeout=0.1)
-            except queue.Empty:
-                continue
+            if self._carry is not None:
+                first, self._carry = self._carry, None
+            else:
+                try:
+                    first = self._queue.get(timeout=0.1)
+                except queue.Empty:
+                    continue
             if first.cancelled:  # client already timed out — don't burn a
                 continue         # full device scan on a dead request
             batch = [first]
@@ -100,7 +120,7 @@ class ChemeleonServer:
                 if item.cancelled:
                     continue
                 if total + item.n_samples > self.max_batch:
-                    self._queue.put(item)  # keep the memory cap strict
+                    self._carry = item  # strict memory cap; head of next window
                     break
                 batch.append(item)
                 total += item.n_samples
@@ -108,6 +128,10 @@ class ChemeleonServer:
             for r in batch:
                 natoms.extend([r.n_atoms] * r.n_samples)
                 texts.extend([r.text] * r.n_samples)
+            # pad to the shape ladder with dummy rows (discarded below)
+            for _ in range(self._quantize_batch(total) - total):
+                natoms.append(batch[0].n_atoms)
+                texts.append(batch[0].text)
             try:
                 with self._lock:
                     crystals = self.model.sample_batch(natoms, texts)
@@ -121,14 +145,21 @@ class ChemeleonServer:
                     r.error = str(e)
             for r in batch:
                 r.event.set()
+        if self._carry is not None:  # don't strand a handler on shutdown
+            self._carry.error = "server shutting down"
+            self._carry.event.set()
+            self._carry = None
 
     def generate(self, req: dict, timeout: float = 600.0) -> List[Crystal]:
         """Enqueue one request into the dynamic batch and wait for results."""
-        if self._stop.is_set():
-            raise RuntimeError("server shutting down")
         pending = _PendingRequest(req["n_samples"], req["n_atoms"],
                                   req["text_input"])
-        self._queue.put(pending)
+        with self._queue_guard:
+            # check-and-enqueue is atomic vs shutdown(): either we enqueue
+            # before the final drain (and get drained) or we observe _stop
+            if self._stop.is_set():
+                raise RuntimeError("server shutting down")
+            self._queue.put(pending)
         if not pending.event.wait(timeout):
             pending.cancelled = True  # collector will skip it if still queued
             raise TimeoutError("generate timed out")
@@ -265,17 +296,16 @@ class ChemeleonServer:
             pending.event.set()
 
     def shutdown(self):
-        self._stop.set()
+        with self._queue_guard:
+            # once _stop is set under the guard, generate() can no longer
+            # enqueue — so the drain below is guaranteed to be final
+            self._stop.set()
         # fail fast for requests still queued — their handler threads would
         # otherwise block until the client timeout
         self._drain_queue("server shutting down")
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd = None
-        # a handler racing shutdown can enqueue between the first drain and
-        # generate()'s _stop check; sweep once more now that no new handler
-        # threads can start
-        self._drain_queue("server shutting down")
 
 
 def main():

@@ -11,7 +11,8 @@ import os
 from pathlib import Path
 
 
-def enable_persistent_compilation_cache(cache_dir=None) -> None:
+def enable_persistent_compilation_cache(
+        cache_dir=None, min_compile_time_secs: float = 1.0) -> None:
     """Idempotent: respects an already-configured cache dir (tests/bench
     configure their own) and the CHEMTPU_NO_CACHE=1 escape hatch."""
     if os.environ.get("CHEMTPU_NO_CACHE") == "1":
@@ -27,6 +28,7 @@ def enable_persistent_compilation_cache(cache_dir=None) -> None:
     try:
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_compile_time_secs)
     except (OSError, AttributeError):  # read-only FS / very old jax
         pass

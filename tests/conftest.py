@@ -22,11 +22,13 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: the suite is compile-dominated and shapes
 # repeat across runs (cache keys hash the HLO, so staleness is not a risk).
-_cache = os.path.join(os.path.dirname(__file__), os.pardir, ".cache",
-                      "jax_compilation_tests")
-os.makedirs(_cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from chemeleon_tpu.utils.compilation_cache import (  # noqa: E402
+    enable_persistent_compilation_cache)
+
+enable_persistent_compilation_cache(
+    os.path.join(os.path.dirname(__file__), os.pardir, ".cache",
+                 "jax_compilation_tests"),
+    min_compile_time_secs=0.5)
 
 import pytest  # noqa: E402
 

@@ -169,6 +169,46 @@ def test_server_dynamic_batching(model):
         server.shutdown()
 
 
+def test_server_batch_shape_ladder(model):
+    """Coalesced /generate batches are padded to a power-of-two ladder so
+    the compiled sampler shapes stay bounded (every distinct batch size is
+    a fresh XLA compile that would stall the device lock in production)."""
+    from concurrent.futures import ThreadPoolExecutor
+    from chemeleon_tpu.serve.client import generate
+    from chemeleon_tpu.serve.server import ChemeleonServer
+
+    class SpyModel:
+        def __init__(self, inner):
+            self._inner = inner
+            self.cfg = inner.cfg
+            self.batch_sizes = []
+
+        def sample_batch(self, natoms, texts, **kw):
+            self.batch_sizes.append(len(natoms))
+            return self._inner.sample_batch(natoms, texts, **kw)
+
+    spy = SpyModel(model)
+    port = _free_port()
+    server = ChemeleonServer(model=spy, host="127.0.0.1", port=port,
+                             batch_window_s=1.0, max_batch=64)
+    assert [server._quantize_batch(t) for t in (1, 2, 3, 5, 33, 64)] == \
+        [1, 2, 4, 8, 64, 64]
+    server.run(background=True)
+    try:
+        url = f"http://127.0.0.1:{port}"
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            futs = [ex.submit(generate, url, f"T{i}O2", 4, 2, 600.0)
+                    for i in range(3)]
+            results = [f.result() for f in futs]
+        assert all(len(r) == 2 for r in results)
+        # every device call used a ladder size, never an arbitrary total
+        assert spy.batch_sizes and all(
+            b in (1, 2, 4, 8, 16, 32, 64) for b in spy.batch_sizes), \
+            spy.batch_sizes
+    finally:
+        server.shutdown()
+
+
 def test_visualizer(tmp_path, model):
     from chemeleon_tpu.visualize import Visualizer
     crystals = model.sample("TiO2", 4, 1, key=jax.random.PRNGKey(0))
@@ -188,6 +228,37 @@ def test_fire_relax_reduces_overlap():
     e1, _ = calc(relaxed)
     assert e1 < e0
     assert relaxed.min_pair_distance() > st.min_pair_distance()
+
+
+def test_pbc_offsets_cover_short_axes():
+    """Cells with an axis shorter than the cutoff need images beyond +/-1
+    (a 3 A axis with rcut=8 A has in-range neighbors 2 cells away); a fixed
+    27-image search silently truncates the potential there."""
+    from chemeleon_tpu.eval.optimize import (
+        LennardJonesCalculator,
+        _pbc_offsets,
+    )
+    lat = lattice_from_parameters(3.0, 12.0, 12.0, 90, 90, 90)
+    offs = _pbc_offsets(lat, rcut=8.0)
+    # 3 A axis: ceil(8/3)=3 repeats; 12 A axes: 1 repeat
+    assert offs[:, 0].max() == 3 and offs[:, 1].max() == 1
+    st = Crystal(lat, [[0.0, 0.0, 0.0]], [11])
+    calc = LennardJonesCalculator(eps=0.2, rcut=8.0)
+    e_full, _ = calc(st)
+    # truncated-to-27-images energy misses the 6 A and 9 A image shells
+    import chemeleon_tpu.eval.optimize as opt
+    import numpy as _np
+    full = _pbc_offsets(lat, 8.0)
+    near = full[np.abs(full).max(axis=1) <= 1]
+    e_near = 0.0
+    radii = 1.66  # Na covalent radius (sigma for the 11-11 pair is 2r)
+    for img in near @ lat:
+        r = _np.linalg.norm(img)
+        if 1e-8 < r < 8.0:
+            x6 = (2 * radii / r) ** 6
+            e_near += 0.5 * 4 * 0.2 * (x6 ** 2 - x6)
+    assert abs(e_full - e_near) > 1e-4  # the far images matter...
+    assert e_full < e_near  # ...and they are attractive (LJ tail)
 
 
 def test_anisotropic_cell_relax_restores_cubic():
