@@ -117,6 +117,10 @@ class ChemeleonConfig:
     compute_dtype: str = "float32"
     # Rematerialize CSP layers during training (memory for FLOPs).
     remat: bool = False
+    # knn periodic image search range r: images in [-r, r]^3 are searched.
+    # Must satisfy r >= ceil(cutoff / min plane spacing); 1 suffices for
+    # mp-40 cells at the default 6 A cutoff.
+    knn_image_range: int = 1
     # Trajectory snapshot stride inside the compiled sampler (1 = every step).
     trajectory_stride: int = 1
 

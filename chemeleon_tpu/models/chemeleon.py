@@ -75,7 +75,8 @@ def build_decoder(cfg: ChemeleonConfig) -> CSPNet:
         text_dim=cfg.text_dim if cfg.text_guide else 0,
         num_layers=cfg.num_layers, max_atoms=cfg.max_atoms, act_fn=cfg.act_fn,
         dis_emb=cfg.dis_emb, num_freqs=cfg.num_freqs, edge_style=cfg.edge_style,
-        cutoff=cfg.cutoff, max_neighbors=cfg.max_neighbors, ln=cfg.ln,
+        cutoff=cfg.cutoff, max_neighbors=cfg.max_neighbors,
+        image_range=cfg.knn_image_range, ln=cfg.ln,
         ip=cfg.ip, smooth=cfg.smooth, pred_atom_types=cfg.pred_atom_types,
         dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
         remat=cfg.remat)

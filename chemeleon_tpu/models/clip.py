@@ -47,7 +47,8 @@ class GraphTower(nn.Module):
                      num_layers=c.num_layers, max_atoms=c.max_atoms,
                      act_fn=c.act_fn, dis_emb=c.dis_emb, num_freqs=c.num_freqs,
                      edge_style=c.edge_style, cutoff=c.cutoff,
-                     max_neighbors=c.max_neighbors, ln=c.ln, ip=c.ip,
+                     max_neighbors=c.max_neighbors,
+                     image_range=c.knn_image_range, ln=c.ln, ip=c.ip,
                      smooth=c.smooth, pred_atom_types=c.pred_atom_types,
                      name="graph_encoder")
         out = net(batch.atom_types, batch.frac_coords, batch.lattices,

@@ -232,6 +232,9 @@ class CSPNet(nn.Module):
     edge_style: str = "fc"
     cutoff: float = 6.0
     max_neighbors: int = 20
+    image_range: int = 1      # knn periodic image search range (see
+    #                           radius_graph_pbc: raise when cell axes can
+    #                           be shorter than the cutoff)
     ln: bool = True
     ip: bool = True
     smooth: bool = False
@@ -259,7 +262,7 @@ class CSPNet(nn.Module):
             from chemeleon_tpu.ops.graph import radius_graph_pbc
             nbr_j, _, nbr_mask, frac_diff = radius_graph_pbc(
                 frac_coords, lattices, mask, self.cutoff,
-                self.max_neighbors)                               # [B,N,K,*]
+                self.max_neighbors, self.image_range)             # [B,N,2K,*]
             neighbors = (nbr_j, nbr_mask)
             pair_mask = None
         else:

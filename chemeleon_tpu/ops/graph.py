@@ -146,55 +146,85 @@ def pairwise_frac_diff(frac_coords: jnp.ndarray) -> jnp.ndarray:
 # Periodic radius graph (knn edge style) — static shapes
 # ---------------------------------------------------------------------------
 
-_IMAGE_OFFSETS = np.array(
-    [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
-    dtype=np.float32)  # [27, 3], center image at index 13
+def _image_offsets(image_range: int) -> np.ndarray:
+    """Lexicographic [-r..r]^3 offsets; index(-o) == count-1-index(o)."""
+    r = image_range
+    span = range(-r, r + 1)
+    return np.array([[i, j, k] for i in span for j in span for k in span],
+                    dtype=np.float32)
+
+
+_IMAGE_OFFSETS = _image_offsets(1)  # [27, 3], center image at index 13
 
 
 def radius_graph_pbc(frac_coords: jnp.ndarray, lattices: jnp.ndarray,
                      mask: jnp.ndarray, cutoff: float,
-                     max_neighbors: int) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                                  jnp.ndarray, jnp.ndarray]:
+                     max_neighbors: int,
+                     image_range: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                    jnp.ndarray, jnp.ndarray]:
     """Batched periodic neighbor search with static output shapes.
 
     Rebuild of the reference's ``radius_graph_pbc`` (data_utils.py:159-398,
     whose knn path is broken upstream — it calls segment_coo with the import
-    commented out, data_utils.py:7). We search the fixed 3x3x3 image set and
-    cap neighbors per atom via top-k, then symmetrize.
+    commented out, data_utils.py:7). Per atom, the K=``max_neighbors``
+    nearest in-cutoff neighbors are selected by top-k over the
+    (2r+1)^3-image set, then the edge set is SYMMETRIZED — every selected
+    i->j edge gets its mirrored j->i counterpart, the invariant the
+    reference enforces via reorder_symmetric_edges (cspnet.py:246-317) —
+    so the output carries 2K slots per atom.
+
+    ``image_range`` must satisfy r >= ceil(cutoff / min plane spacing) to
+    see every in-range image; r=1 matches cells whose axes exceed the
+    cutoff (true for mp-40 at the default 6 A cutoff, not for very short
+    axes — raise it when relaxing tiny cells).
 
     Returns (nbr_j, nbr_img, nbr_mask, frac_diff):
-      nbr_j:     [B, N, K] int32 neighbor node index
-      nbr_img:   [B, N, K] int32 image index into the 27 offsets
-      nbr_mask:  [B, N, K] bool valid-edge mask
-      frac_diff: [B, N, K, 3] unwrapped fractional difference
+      nbr_j:     [B, N, 2K] int32 neighbor node index
+      nbr_img:   [B, N, 2K] int32 image index into the (2r+1)^3 offsets
+      nbr_mask:  [B, N, 2K] bool valid-edge mask
+      frac_diff: [B, N, 2K, 3] unwrapped fractional difference
                  x_j + image - x_i (what the knn path feeds the Fourier
                  embedding, cspnet.py:336-343)
     """
     B, N, _ = frac_coords.shape
-    offsets = jnp.asarray(_IMAGE_OFFSETS)                       # [27, 3]
+    offsets = jnp.asarray(_image_offsets(image_range))          # [C, 3]
+    C = offsets.shape[0]
     cart = jnp.einsum("bni,bij->bnj", frac_coords, lattices)    # [B, N, 3]
     # displacement for each (i, j, c): x_j + offset_c - x_i in cartesian
-    img_cart = jnp.einsum("ci,bij->bcj", offsets, lattices)     # [B, 27, 3]
+    img_cart = jnp.einsum("ci,bij->bcj", offsets, lattices)     # [B, C, 3]
     disp = (cart[:, None, :, None, :] + img_cart[:, None, None, :, :]
-            - cart[:, :, None, None, :])                        # [B, N, N, 27, 3]
-    dist = jnp.sqrt((disp ** 2).sum(-1) + 1e-12)                # [B, N, N, 27]
+            - cart[:, :, None, None, :])                        # [B, N, N, C, 3]
+    dist = jnp.sqrt((disp ** 2).sum(-1) + 1e-12)                # [B, N, N, C]
 
     pair_ok = mask[:, :, None] & mask[:, None, :]               # [B, N, N]
     valid = pair_ok[..., None] & (dist <= cutoff) & (dist > 1e-6)
     big = jnp.float32(1e10)
-    dist_flat = jnp.where(valid, dist, big).reshape(B, N, N * 27)
+    dist_flat = jnp.where(valid, dist, big).reshape(B, N, N * C)
 
+    # per-atom directed K-nearest cap (reference get_max_neighbors_mask,
+    # data_utils.py:319-398); flat index layout over (j, c), c fastest
     K = max_neighbors
     neg_top, idx = jax.lax.top_k(-dist_flat, K)                 # [B, N, K]
-    nbr_dist = -neg_top
-    # flat index layout over (j, c) with the image index c fastest
-    nbr_j = idx // 27
-    nbr_img = idx % 27
-    nbr_mask = nbr_dist < big / 2
+    in_range = -neg_top < big / 2
+    bi = jnp.arange(B)[:, None, None]
+    ni = jnp.arange(N)[None, :, None]
+    selected = jnp.zeros((B, N, N * C), bool).at[bi, ni, idx].set(in_range)
+    selected = selected.reshape(B, N, N, C)
+    # symmetrize: the mirror of edge (i->j, offset o) is (j->i, -o), i.e.
+    # image index C-1-c under the lexicographic enumeration
+    selected = selected | selected.transpose(0, 2, 1, 3)[..., ::-1]
+
+    K2 = 2 * K
+    dist_flat2 = jnp.where(selected, dist, big).reshape(B, N, N * C)
+    neg_top2, idx2 = jax.lax.top_k(-dist_flat2, K2)             # [B, N, 2K]
+    nbr_j = idx2 // C
+    nbr_img = idx2 % C
+    nbr_mask = -neg_top2 < big / 2
 
     xi = frac_coords[:, :, None, :]                             # [B, N, 1, 3]
-    xj = jnp.take_along_axis(frac_coords[:, None, :, :].repeat(N, axis=1),
-                             nbr_j[..., None], axis=2)          # [B, N, K, 3]
+    xj = jnp.take_along_axis(
+        jnp.broadcast_to(frac_coords[:, None, :, :], (B, N, N, 3)),
+        nbr_j[..., None], axis=2)                               # [B, N, 2K, 3]
     frac_diff = xj + offsets[nbr_img] - xi
     return nbr_j, nbr_img, nbr_mask, frac_diff
 

@@ -33,25 +33,55 @@ from chemeleon_tpu.config import ChemeleonConfig
 from chemeleon_tpu.data.datamodule import DataModule
 from chemeleon_tpu.models.clip import CrystalClip
 from chemeleon_tpu.parallel.mesh import DATA_AXIS, make_mesh, replicate
-from chemeleon_tpu.train.optim import EarlyStopping
+from chemeleon_tpu.train.optim import (
+    EarlyStopping,
+    PlateauScale,
+    set_group_learning_rates,
+)
 from chemeleon_tpu.utils.logging import MetricLogger
 
 
-def build_clip_optimizer(cfg: ChemeleonConfig) -> optax.GradientTransformation:
-    def label_fn(params):
-        return {
-            k: ("text_tower" if k == "text_tower"
-                else "graph" if k == "graph" else "proj")
-            for k in params
-        }
+def clip_param_labels(params):
+    """Per-leaf LR-group labels matching the reference param groups
+    (crystal_clip.py:172-181): text tower / graph encoder / BOTH projection
+    heads. graph_proj lives inside the GraphTower module tree, so labels
+    must descend into the "graph" subtree to give it the proj LR."""
+    from collections.abc import Mapping
 
+    def fill(tree, label, proj_under=None):
+        if isinstance(tree, Mapping):
+            return {k: fill(v, "proj" if k == proj_under else label,
+                            proj_under)
+                    for k, v in tree.items()}
+        return label
+
+    out = {}
+    for k, v in params.items():
+        if k == "text_tower":
+            out[k] = fill(v, "text_tower")
+        elif k == "graph":
+            out[k] = fill(v, "graph", proj_under="graph_proj")
+        else:  # text_proj head
+            out[k] = fill(v, "proj")
+    return out
+
+
+def build_clip_optimizer(cfg: ChemeleonConfig) -> optax.GradientTransformation:
+    """Reference optimizer (crystal_clip.py:172-191): Adam with per-group
+    LRs (see clip_param_labels), weight_decay (L2 on the gradient, torch
+    Adam semantics), and per-group inject_hyperparams so the plateau
+    scheduler can scale LRs without recompiling."""
+    label_fn = clip_param_labels
+    adam = lambda lr: optax.inject_hyperparams(optax.adam)(learning_rate=lr)
     tx = optax.multi_transform(
         {
-            "text_tower": optax.adam(cfg.text_encoder_lr),
-            "graph": optax.adam(cfg.graph_encoder_lr),
-            "proj": optax.adam(cfg.lr),
+            "text_tower": adam(cfg.text_encoder_lr),
+            "graph": adam(cfg.graph_encoder_lr),
+            "proj": adam(cfg.lr),
         },
         label_fn)
+    if cfg.weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
     if cfg.gradient_clip_val and cfg.gradient_clip_val > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.gradient_clip_val), tx)
     return tx
@@ -66,11 +96,15 @@ class ClipTrainer:
         self.dm = datamodule or DataModule(cfg, max_rows=max_rows)
         self.tx = build_clip_optimizer(cfg)
         self.early = EarlyStopping(cfg.early_stopping)
+        # ReduceLROnPlateau on val/loss scaling all three LR groups
+        # (reference crystal_clip.py:182-191, min_lr=1e-6)
+        self.plateau = PlateauScale(cfg.patience)
+        self._min_lr = 1e-6
         self.mesh = None
         if cfg.mesh_shape != (1, 1):
             self.mesh = make_mesh(cfg.mesh_shape)
         self.logger = MetricLogger(cfg.log_dir, cfg.exp_name,
-                                   cfg.project_name, offline=True,
+                                   cfg.project_name, offline=cfg.offline,
                                    config=cfg.to_dict())
         ckpt_dir = Path(cfg.log_dir) / cfg.exp_name / "clip_checkpoints"
         ckpt_dir.mkdir(parents=True, exist_ok=True)
@@ -110,7 +144,9 @@ class ClipTrainer:
             ckptr.save(path / "opt_state", opt_state)
             ckptr.wait_until_finished()
         meta = {"epoch": epoch, "global_step": global_step,
-                "val_loss": float(val_loss), "config": self.cfg.to_dict()}
+                "val_loss": float(val_loss), "config": self.cfg.to_dict(),
+                "plateau": self.plateau.state_dict(),
+                "early": self.early.state_dict()}
         with open(path / "meta.json", "w") as f:
             json.dump(meta, f, default=str)
 
@@ -159,10 +195,16 @@ class ClipTrainer:
         params = self.clip.init_params(jax.random.PRNGKey(cfg.seed))
         start_epoch = 0
         restored_opt = None
+        gs = 0
         if resume_from:
             params, meta, restored_opt = self.load_checkpoint(
                 resume_from, params, opt_state_like=self.tx.init(params))
             start_epoch = meta["epoch"] + 1
+            gs = int(meta.get("global_step", 0))
+            if "plateau" in meta:
+                self.plateau.load_state_dict(meta["plateau"])
+            if "early" in meta:
+                self.early.load_state_dict(meta["early"])
         if self.mesh is not None:
             params = replicate(self.mesh, params)
             if restored_opt is not None:
@@ -178,8 +220,16 @@ class ClipTrainer:
         if resume_from and best_meta.exists():
             with open(best_meta) as f:
                 best = float(json.load(f)["val_loss"])
-        gs = 0
         epoch = start_epoch - 1
+
+        def _apply_plateau(opt_state, scale):
+            return set_group_learning_rates(opt_state, {
+                "text_tower": max(cfg.text_encoder_lr * scale, self._min_lr),
+                "graph": max(cfg.graph_encoder_lr * scale, self._min_lr),
+                "proj": max(cfg.lr * scale, self._min_lr)})
+
+        if self.plateau.scale != 1.0:  # resumed mid-decay
+            opt_state = _apply_plateau(opt_state, self.plateau.scale)
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             for batch, texts in self.dm.train_dataloader(epoch):
@@ -197,7 +247,10 @@ class ClipTrainer:
                     self.logger.log({"train/loss": loss_val}, gs)
                 gs += 1
             val = self.evaluate(params, self.dm.val_dataloader())
+            scale = self.plateau.update(val)
+            opt_state = _apply_plateau(opt_state, scale)
             self.logger.log({"val/loss": val, "epoch": epoch,
+                             "lr_scale": scale,
                              "epoch_time": time.time() - t0}, gs)
             self.save_checkpoint("last", params, opt_state, epoch, gs, val)
             if val < best:

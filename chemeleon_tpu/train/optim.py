@@ -78,6 +78,34 @@ def set_learning_rate(opt_state, lr: float):
     return new_state
 
 
+def set_group_learning_rates(opt_state, lrs: dict):
+    """Per-label LR update for ``optax.multi_transform`` states (returns a
+    copy). ``lrs`` maps group label -> new learning rate; every label must
+    resolve to an inject_hyperparams learning_rate inside its group."""
+    done = [False]
+
+    def rebuild(s):
+        inner = getattr(s, "inner_states", None)
+        if isinstance(inner, dict) and hasattr(s, "_replace"):
+            done[0] = True
+            new_inner = {
+                label: (set_learning_rate(sub, lrs[label])
+                        if label in lrs else sub)
+                for label, sub in inner.items()
+            }
+            return s._replace(inner_states=new_inner)
+        if isinstance(s, tuple):
+            items = [rebuild(x) for x in s]
+            return type(s)(*items) if hasattr(s, "_fields") else tuple(items)
+        return s
+
+    new_state = rebuild(opt_state)
+    if not done[0]:
+        raise ValueError("set_group_learning_rates: no multi_transform state "
+                         "found in optimizer state")
+    return new_state
+
+
 class LRScheduler:
     """Host-side LR schedule controller (per-epoch / per-validation)."""
 
@@ -132,6 +160,50 @@ class LRScheduler:
                 self._bad = 0
         return self._lr
 
+    def state_dict(self) -> dict:
+        """Resume parity: without this, a resumed reduce_on_plateau run
+        restarts at base lr (possibly 100x above the decayed value)."""
+        return {"lr": self._lr, "best": self._best, "bad": self._bad,
+                "epoch": self._epoch}
+
+    def load_state_dict(self, d: dict) -> None:
+        self._lr = float(d["lr"])
+        self._best = float(d["best"])
+        self._bad = int(d["bad"])
+        self._epoch = int(d["epoch"])
+
+
+class PlateauScale:
+    """ReduceLROnPlateau as a multiplicative scale on per-group base LRs
+    (the CLIP trainer's scheduler, reference crystal_clip.py:182-185:
+    mode=min, factor=0.8, min_lr applied per group at the call site)."""
+
+    def __init__(self, patience: int, factor: float = 0.8):
+        self.patience = patience
+        self.factor = factor
+        self.scale = 1.0
+        self.best = math.inf
+        self.bad = 0
+
+    def update(self, val_loss: float) -> float:
+        if val_loss < self.best:
+            self.best = val_loss
+            self.bad = 0
+        else:
+            self.bad += 1
+            if self.bad > self.patience:
+                self.scale *= self.factor
+                self.bad = 0
+        return self.scale
+
+    def state_dict(self) -> dict:
+        return {"scale": self.scale, "best": self.best, "bad": self.bad}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.scale = float(d["scale"])
+        self.best = float(d["best"])
+        self.bad = int(d["bad"])
+
 
 class EarlyStopping:
     """val/loss early stopping (reference run.py:55-60, patience=300)."""
@@ -149,3 +221,10 @@ class EarlyStopping:
             return False
         self.bad += 1
         return self.bad > self.patience
+
+    def state_dict(self) -> dict:
+        return {"best": self.best, "bad": self.bad}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.best = float(d["best"])
+        self.bad = int(d["bad"])

@@ -49,7 +49,7 @@ class Trainer:
         if cfg.mesh_shape != (1, 1):
             self.mesh = make_mesh(cfg.mesh_shape)
         self.logger = MetricLogger(cfg.log_dir, cfg.exp_name,
-                                   cfg.project_name, offline=cfg.offline or True,
+                                   cfg.project_name, offline=cfg.offline,
                                    config=cfg.to_dict())
         ckpt_dir = Path(cfg.log_dir) / cfg.exp_name / "checkpoints"
         ckpt_dir.mkdir(parents=True, exist_ok=True)
@@ -72,7 +72,12 @@ class Trainer:
             ckptr.save(path / "opt_state", opt_state)
             ckptr.wait_until_finished()
         meta = {"epoch": epoch, "global_step": global_step,
-                "val_loss": float(val_loss), "config": self.cfg.to_dict()}
+                "val_loss": float(val_loss), "config": self.cfg.to_dict(),
+                # host-side schedule state (Lightning checkpoints carry the
+                # scheduler/early-stop state; without it a resumed
+                # reduce_on_plateau run would restart at base lr)
+                "lr_sched": self.lr_sched.state_dict(),
+                "early": self.early.state_dict()}
         with open(path / "meta.json", "w") as f:
             json.dump(meta, f, default=str)
 
@@ -98,9 +103,13 @@ class Trainer:
     def validate(self, params, epoch: int) -> Dict[str, float]:
         agg: Dict[str, float] = {}
         count = 0
-        for batch, texts in self.dm.val_dataloader():
-            metrics = self._eval_step(params, batch, self._raw_text(texts),
-                                      jax.random.PRNGKey(epoch))
+        for i, (batch, texts) in enumerate(self.dm.val_dataloader()):
+            # fresh key per batch: one shared key would evaluate every batch
+            # at identical sampled timesteps/noise, biasing val/loss (which
+            # drives best-checkpoint choice, plateau LR and early stopping)
+            metrics = self._eval_step(
+                params, batch, self._raw_text(texts),
+                jax.random.fold_in(jax.random.PRNGKey(epoch), i))
             B = batch.batch_size
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v) * B
@@ -116,6 +125,7 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.seed)
         params = self.model.init_params(key)
         start_epoch = 0
+        global_step = 0
         restored_opt = None
         if cfg.load_path and not (resume_from or cfg.resume_from):
             # warm start: params only — fresh optimizer state and epoch
@@ -127,6 +137,13 @@ class Trainer:
                 resume_from or cfg.resume_from, params,
                 opt_state_like=self.tx.init(params))
             start_epoch = meta["epoch"] + 1
+            # continue the step counter: fold_in(key, global_step) RNG and
+            # logger x-axis must not replay the original run's prefix
+            global_step = int(meta.get("global_step", 0))
+            if "lr_sched" in meta:
+                self.lr_sched.load_state_dict(meta["lr_sched"])
+            if "early" in meta:
+                self.early.load_state_dict(meta["early"])
         if self.mesh is not None:
             params = shard_params(self.mesh, params)
             if restored_opt is not None:
@@ -151,7 +168,6 @@ class Trainer:
                     return jax.device_put(x, sh)
 
                 restored_opt = jax.tree.map(_place, restored_opt, like)
-        self.model.params = params
         opt_state = restored_opt if restored_opt is not None \
             else self.tx.init(params)
 
@@ -161,53 +177,60 @@ class Trainer:
         if (resume_from or cfg.resume_from) and best_meta.exists():
             with open(best_meta) as f:
                 best_val = float(json.load(f)["val_loss"])
-        global_step = 0
         history = []
         epoch = start_epoch - 1  # resume from a completed run: loop may not run
-        for epoch in range(start_epoch, max_epochs):
-            lr = self.lr_sched.on_epoch(epoch)
-            opt_state = set_learning_rate(opt_state, lr)
-            t0 = time.time()
-            for batch, texts in self.dm.train_dataloader(epoch):
-                step_key = jax.random.fold_in(key, global_step)
-                params, opt_state, metrics = self._train_step(
-                    params, opt_state, batch, self._raw_text(texts), step_key)
-                if global_step % 50 == 0:
-                    loss_val = float(metrics["loss"])
-                    # failure detection: a non-finite loss means the run is
-                    # poisoned — stop with a clear record instead of training
-                    # on garbage (the reference has no such guard, SURVEY §5)
-                    if not np.isfinite(loss_val):
-                        self.logger.log({"train/loss": loss_val,
-                                         "fatal": "non-finite loss"},
-                                        global_step)
-                        raise FloatingPointError(
-                            f"non-finite training loss at step {global_step} "
-                            f"(epoch {epoch}); last checkpoint: "
-                            f"{self.ckpt_dir / 'last'}")
-                    self.logger.log(
-                        {f"train/{k}": v for k, v in metrics.items()}
-                        | {"lr": self.lr_sched.lr}, global_step)
-                global_step += 1
+        try:
+            for epoch in range(start_epoch, max_epochs):
+                lr = self.lr_sched.on_epoch(epoch)
+                opt_state = set_learning_rate(opt_state, lr)
+                t0 = time.time()
+                for batch, texts in self.dm.train_dataloader(epoch):
+                    step_key = jax.random.fold_in(key, global_step)
+                    params, opt_state, metrics = self._train_step(
+                        params, opt_state, batch, self._raw_text(texts),
+                        step_key)
+                    if global_step % 50 == 0:
+                        loss_val = float(metrics["loss"])
+                        # failure detection: a non-finite loss means the run
+                        # is poisoned — stop with a clear record instead of
+                        # training on garbage (the reference has no such
+                        # guard, SURVEY §5)
+                        if not np.isfinite(loss_val):
+                            self.logger.log({"train/loss": loss_val,
+                                             "fatal": "non-finite loss"},
+                                            global_step)
+                            raise FloatingPointError(
+                                f"non-finite training loss at step "
+                                f"{global_step} (epoch {epoch}); last "
+                                f"checkpoint: {self.ckpt_dir / 'last'}")
+                        self.logger.log(
+                            {f"train/{k}": v for k, v in metrics.items()}
+                            | {"lr": self.lr_sched.lr}, global_step)
+                    global_step += 1
 
-            val_metrics = self.validate(params, epoch)
-            val_loss = val_metrics.get("val/loss", float("inf"))
-            lr = self.lr_sched.on_validation(val_loss)
-            opt_state = set_learning_rate(opt_state, lr)
-            val_metrics["epoch"] = epoch
-            val_metrics["epoch_time"] = time.time() - t0
-            self.logger.log(val_metrics, global_step)
-            history.append(val_metrics)
+                val_metrics = self.validate(params, epoch)
+                val_loss = val_metrics.get("val/loss", float("inf"))
+                lr = self.lr_sched.on_validation(val_loss)
+                opt_state = set_learning_rate(opt_state, lr)
+                val_metrics["epoch"] = epoch
+                val_metrics["epoch_time"] = time.time() - t0
+                self.logger.log(val_metrics, global_step)
+                history.append(val_metrics)
 
-            self.save_checkpoint("last", params, opt_state, epoch,
-                                 global_step, val_loss)
-            if val_loss < best_val:
-                best_val = val_loss
-                self.save_checkpoint("best", params, opt_state, epoch,
+                self.save_checkpoint("last", params, opt_state, epoch,
                                      global_step, val_loss)
-            if self.early.update(val_loss):
-                break
+                if val_loss < best_val:
+                    best_val = val_loss
+                    self.save_checkpoint("best", params, opt_state, epoch,
+                                         global_step, val_loss)
+                if self.early.update(val_loss):
+                    break
+        finally:
+            # always leave the model holding LIVE params: the train step
+            # donates its inputs, so anything assigned before the loop would
+            # reference deleted buffers if fit aborts (e.g. the non-finite
+            # loss guard) and the user then samples or saves
+            self.model.params = params
 
-        self.model.params = params
         return {"best_val_loss": best_val, "epochs": epoch + 1,
                 "global_step": global_step, "history": history}

@@ -35,15 +35,47 @@ def test_radius_graph_pbc_simple_cubic():
     assert not ((js == 0).any())
 
 
-def test_radius_graph_pbc_max_neighbors_cap():
+def test_radius_graph_pbc_max_neighbors_cap_and_symmetry():
     rng = np.random.default_rng(0)
     frac = jnp.asarray(rng.uniform(size=(1, 8, 3)), dtype=jnp.float32)
     lat = jnp.eye(3)[None] * 3.0  # dense cell -> many neighbors
     mask = jnp.ones((1, 8), bool)
     K = 5
-    _, _, nbr_mask, _ = radius_graph_pbc(frac, lat, mask, cutoff=6.0,
-                                         max_neighbors=K)
-    assert np.asarray(nbr_mask).sum(-1).max() <= K
+    nbr_j, nbr_img, nbr_mask, _ = radius_graph_pbc(frac, lat, mask,
+                                                   cutoff=6.0,
+                                                   max_neighbors=K)
+    # directed selection capped at K, then mirrored -> at most 2K per atom
+    valid = np.asarray(nbr_mask)
+    assert valid.sum(-1).max() <= 2 * K
+    # the edge set is symmetric: (i->j, offset o) implies (j->i, -o)
+    # (the invariant the reference enforces via reorder_symmetric_edges)
+    C = 27
+    edges = set()
+    js, imgs = np.asarray(nbr_j), np.asarray(nbr_img)
+    for i in range(8):
+        for k in range(valid.shape[-1]):
+            if valid[0, i, k]:
+                edges.add((i, int(js[0, i, k]), int(imgs[0, i, k])))
+    for (i, j, c) in edges:
+        assert (j, i, C - 1 - c) in edges, (i, j, c)
+
+
+def test_radius_graph_pbc_image_range_covers_short_axes():
+    # 2.5 A axis with a 6 A cutoff: in-range images 2 cells away exist;
+    # image_range=1 cannot see them, image_range=3 must.
+    frac = jnp.asarray([[[0.0, 0.0, 0.0]]], dtype=jnp.float32)
+    lat = jnp.asarray([np.diag([2.5, 12.0, 12.0])], dtype=jnp.float32)
+    mask = jnp.ones((1, 1), bool)
+    _, _, m1, _ = radius_graph_pbc(frac, lat, mask, cutoff=6.0,
+                                   max_neighbors=8, image_range=1)
+    _, _, m3, fd3 = radius_graph_pbc(frac, lat, mask, cutoff=6.0,
+                                     max_neighbors=8, image_range=3)
+    # self-images along x at 2.5 and 5.0 A are in range: r=1 sees 2 of them,
+    # r=3 sees all 4 (+-1, +-2 cells)
+    assert int(np.asarray(m1).sum()) == 2
+    assert int(np.asarray(m3).sum()) == 4
+    xs = sorted(np.round(np.asarray(fd3)[0, 0][np.asarray(m3)[0, 0], 0], 3))
+    assert xs == [-2.0, -1.0, 1.0, 2.0]
 
 
 def test_radius_graph_pbc_padding():

@@ -391,3 +391,124 @@ def test_clip_trainer_mesh_resume(data_dir, tmp_path, eight_devices):
     out = tr2.fit(max_epochs=2,
                   resume_from=str(Path(tr.ckpt_dir) / "last"))
     assert np.isfinite(out["best_val_loss"])
+
+
+def test_clip_param_labels_projection_heads_get_proj_lr():
+    """Reference crystal_clip.py:172-181: graph_proj trains at cfg.lr, not
+    the graph-encoder LR — it lives inside the GraphTower tree, so labels
+    must descend into params['graph'] (regression: the whole subtree was
+    labelled 'graph', silently under-training the projection head 10x)."""
+    from chemeleon_tpu.train.clip_trainer import clip_param_labels
+    params = {
+        "graph": {"params": {"layers_0": {"kernel": 1.0},
+                             "graph_proj": {"dense": {"kernel": 2.0}}}},
+        "text_proj": {"params": {"kernel": 3.0}},
+        "text_tower": {"embedding": 4.0},
+    }
+    labels = clip_param_labels(params)
+    assert labels["graph"]["params"]["layers_0"]["kernel"] == "graph"
+    assert labels["graph"]["params"]["graph_proj"]["dense"]["kernel"] == "proj"
+    assert labels["text_proj"]["params"]["kernel"] == "proj"
+    assert labels["text_tower"]["embedding"] == "text_tower"
+
+
+def _collect_injected_lrs(opt_state):
+    out = {}
+
+    def walk(s, path):
+        hp = getattr(s, "hyperparams", None)
+        if isinstance(hp, dict) and "learning_rate" in hp:
+            out[path] = float(hp["learning_rate"])
+        inner = getattr(s, "inner_states", None)
+        if isinstance(inner, dict):
+            for label, sub in inner.items():
+                walk(sub, label)
+        if isinstance(s, tuple):
+            for x in s:
+                walk(x, path)
+
+    walk(opt_state, "")
+    return out
+
+
+def test_clip_plateau_scales_all_lr_groups():
+    """ReduceLROnPlateau parity (crystal_clip.py:182-185): the scheduler
+    scales every param group's LR by 0.8 after patience bad epochs."""
+    import jax.numpy as jnp
+    from chemeleon_tpu.train.clip_trainer import build_clip_optimizer
+    from chemeleon_tpu.train.optim import PlateauScale, set_group_learning_rates
+
+    cfg = get_config("clip_prompt", **TINY)
+    tx = build_clip_optimizer(cfg)
+    params = {"graph": {"params": {"graph_proj": {"k": jnp.ones(2)},
+                                   "layer": {"k": jnp.ones(2)}}},
+              "text_proj": {"params": {"k": jnp.ones(2)}},
+              "text_tower": {"k": jnp.ones(2)}}
+    state = tx.init(params)
+    lrs = _collect_injected_lrs(state)
+    assert lrs == {"text_tower": pytest.approx(cfg.text_encoder_lr),
+                   "graph": pytest.approx(cfg.graph_encoder_lr),
+                   "proj": pytest.approx(cfg.lr)}
+
+    sched = PlateauScale(patience=1)
+    assert sched.update(1.0) == 1.0          # improvement
+    assert sched.update(1.1) == 1.0          # bad 1 <= patience
+    scale = sched.update(1.2)                # bad 2 > patience -> decay
+    assert scale == pytest.approx(0.8)
+    state2 = set_group_learning_rates(state, {
+        "text_tower": cfg.text_encoder_lr * scale,
+        "graph": cfg.graph_encoder_lr * scale,
+        "proj": cfg.lr * scale})
+    lrs2 = _collect_injected_lrs(state2)
+    assert lrs2["proj"] == pytest.approx(cfg.lr * 0.8)
+    assert lrs2["graph"] == pytest.approx(cfg.graph_encoder_lr * 0.8)
+    # round-trip of the host-side state (resume parity)
+    clone = PlateauScale(patience=1)
+    clone.load_state_dict(sched.state_dict())
+    assert clone.scale == sched.scale and clone.bad == sched.bad
+
+
+def test_resume_restores_scheduler_and_step_state(data_dir, tmp_path):
+    """A resumed reduce_on_plateau run must continue at the DECAYED lr and
+    the saved global_step, not restart at base lr / step 0."""
+    from chemeleon_tpu.train.optim import LRScheduler
+    from chemeleon_tpu.train.trainer import Trainer
+
+    cfg = get_config("chemeleon_bert_prompt", data_dir=data_dir,
+                     log_dir=str(tmp_path / "logs_sched"),
+                     scheduler="reduce_on_plateau", **TINY)
+    tr = Trainer(cfg, text_backend="hash")
+    # simulate a mid-run decayed scheduler, then checkpoint
+    tr.lr_sched.load_state_dict({"lr": cfg.lr * 0.8 ** 3, "best": 0.5,
+                                 "bad": 1, "epoch": 4})
+    tr.early.load_state_dict({"best": 0.5, "bad": 7})
+    params = tr.model.init_params(jax.random.PRNGKey(0))
+    tr.save_checkpoint("last", params, tr.tx.init(params), epoch=4,
+                       global_step=123, val_loss=0.5)
+
+    tr2 = Trainer(cfg, text_backend="hash")
+    out = tr2.fit(max_epochs=6, resume_from=str(tr.ckpt_dir / "last"))
+    assert tr2.lr_sched.lr <= cfg.lr * 0.8 ** 3 + 1e-12  # decay kept
+    assert tr2.early.best == 0.5
+    assert out["global_step"] > 123  # counter continued, not reset
+
+
+def test_model_params_live_after_aborted_fit(data_dir, tmp_path, monkeypatch):
+    """The train step donates params; if fit aborts (non-finite loss guard)
+    model.params must still reference LIVE buffers, not donated ones."""
+    from chemeleon_tpu.train import trainer as trainer_mod
+    from chemeleon_tpu.train.trainer import Trainer
+
+    cfg = get_config("chemeleon_bert_prompt", data_dir=data_dir,
+                     log_dir=str(tmp_path / "logs_abort"), **TINY)
+    tr = Trainer(cfg, text_backend="hash")
+    # poison the loss check: pretend every logged loss is NaN
+    real_isfinite = np.isfinite
+    monkeypatch.setattr(trainer_mod.np, "isfinite", lambda x: False)
+    with pytest.raises(FloatingPointError):
+        tr.fit(max_epochs=1)
+    monkeypatch.setattr(trainer_mod.np, "isfinite", real_isfinite)
+    # params must be materialized (raises if they reference deleted buffers)
+    total = sum(float(np.abs(np.asarray(x)).sum())
+                for x in jax.tree.leaves(tr.model.params))
+    assert np.isfinite(total)
