@@ -6,11 +6,9 @@ from __future__ import annotations
 import re
 from functools import reduce
 from math import gcd
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 from chemeleon_tpu.chem.elements import Z_BY_SYMBOL
-
-_TOKEN = re.compile(r"([A-Z][a-z]?)(\d*\.?\d*)|(\()|(\))(\d*\.?\d*)")
 
 
 def parse_composition(formula: str) -> Dict[str, float]:

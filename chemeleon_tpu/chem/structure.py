@@ -82,19 +82,37 @@ class Crystal:
                        for el, n in sorted(comp.items()))
 
     # -- geometry -----------------------------------------------------------
+    def _reduced_frame(self):
+        """(reduced lattice, frac coords in it): a +-1 image search is only
+        exact on a Niggli-reduced basis — heavily skewed generated cells
+        (canonical zero-pattern, extreme angles) have nearest images at
+        offsets beyond +-1 of the raw basis, which would over-report
+        min distances and let overlapping structures pass validity."""
+        from chemeleon_tpu.chem.lattice import niggli_reduce
+        try:
+            red = np.asarray(niggli_reduce(self.lattice), np.float64)
+        except (ValueError, ZeroDivisionError):
+            return np.asarray(self.lattice, np.float64), \
+                np.asarray(self.frac_coords, np.float64) % 1.0
+        # niggli_reduce keeps the cartesian frame (row ops only), so carts
+        # are unchanged and fracs re-express through the reduced basis
+        frac_red = (self.cart_coords @ np.linalg.inv(red)) % 1.0
+        return red, frac_red
+
     def distance_matrix(self) -> np.ndarray:
-        """Min-image pairwise distances [n, n] over the 3x3x3 image set."""
+        """Min-image pairwise distances [n, n]: 3x3x3 image search on the
+        Niggli-reduced basis (exact there; see _reduced_frame)."""
+        lat, frac = self._reduced_frame()
         try:
             from chemeleon_tpu.native import available, distance_matrix
             if available():
-                return distance_matrix(self.lattice, self.frac_coords)
+                return distance_matrix(lat, frac)
         except ImportError:
             pass
-        n = len(self)
-        cart = self.cart_coords
+        cart = frac @ lat
         offsets = np.array([[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
                             for k in (-1, 0, 1)], dtype=np.float64)
-        img = offsets @ self.lattice                       # [27, 3]
+        img = offsets @ lat                                # [27, 3]
         diff = cart[None, :, None, :] + img[None, None, :, :] - cart[:, None, None, :]
         d = np.linalg.norm(diff, axis=-1)                  # [n, n, 27]
         return d.min(axis=-1)
@@ -104,16 +122,18 @@ class Crystal:
         n = len(self)
         if n < 1:
             return float("inf")
+        lat, frac = self._reduced_frame()
         try:
             from chemeleon_tpu.native import available, min_pair_distance
             if available():
-                return min_pair_distance(self.lattice, self.frac_coords)
+                return min_pair_distance(lat, frac)
         except ImportError:
             pass
         d = self.distance_matrix()
         np.fill_diagonal(d, np.inf)  # same atom, center image
-        # self-image distances (atom to its own periodic copy):
-        self_img = np.array([np.linalg.norm(off @ self.lattice)
+        # self-image distances (atom to its own periodic copy); on the
+        # reduced basis the shortest lattice vector is among these combos
+        self_img = np.array([np.linalg.norm(off @ lat)
                              for off in [[1, 0, 0], [0, 1, 0], [0, 0, 1],
                                          [1, 1, 0], [1, 0, 1], [0, 1, 1],
                                          [1, 1, 1], [1, -1, 0], [1, 0, -1],

@@ -271,7 +271,13 @@ def primitive_structure(crystal, symprec: float = 0.1):
     if len(keep_idx) * k != len(types):
         return crystal  # inconsistent folding — refuse to guess
 
-    red_lat = niggli_reduce(new_lat)
+    try:
+        red_lat = niggli_reduce(new_lat)
+    except ValueError:
+        # non-convergent Niggli on a degenerate derived cell: keep the
+        # unreduced primitive basis rather than crashing the caller (the
+        # other niggli_reduce call sites guard the same way)
+        red_lat = new_lat
     red_frac = (new_frac[keep_idx] @ new_lat @ np.linalg.inv(red_lat)) % 1.0
     return Crystal(lattice=red_lat.astype(np.float64),
                    frac_coords=red_frac,

@@ -77,6 +77,8 @@ def structure_validity(crystal: Crystal, cutoff: float = 0.5,
         return False
     if crystal.volume < 0.1:
         return False
-    if len(crystal) > 1 and crystal.min_pair_distance() <= cutoff:
+    # n == 1 included: min_pair_distance returns the self-image distance,
+    # so a single atom 0.4 A from its periodic copy is correctly invalid
+    if len(crystal) >= 1 and crystal.min_pair_distance() <= cutoff:
         return False
     return True

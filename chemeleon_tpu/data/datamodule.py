@@ -67,7 +67,10 @@ def bucketed_batches(dataset: MPDataset, batch_size: int,
 
 
 def prefetch(it: Iterator, size: int = 2) -> Iterator:
-    """Background-thread prefetch."""
+    """Background-thread prefetch. Producer exceptions are re-raised in the
+    consumer (a bare sentinel on failure would make a crashed dataloader
+    look like a normal, short epoch and training would silently continue
+    on truncated data)."""
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
 
@@ -75,8 +78,9 @@ def prefetch(it: Iterator, size: int = 2) -> Iterator:
         try:
             for x in it:
                 q.put(x)
-        finally:
             q.put(sentinel)
+        except BaseException as e:  # noqa: BLE001 - transported to consumer
+            q.put((sentinel, e))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -84,6 +88,8 @@ def prefetch(it: Iterator, size: int = 2) -> Iterator:
         x = q.get()
         if x is sentinel:
             return
+        if isinstance(x, tuple) and len(x) == 2 and x[0] is sentinel:
+            raise x[1]
         yield x
 
 

@@ -158,15 +158,6 @@ int ctpu_niggli_reduce(double *mat, double tol, int max_iter) {
     zeta = 2 * (a.m[0][0] * a.m[1][0] + a.m[0][1] * a.m[1][1] +
                 a.m[0][2] * a.m[1][2]);
   };
-  auto swap_rows = [&](int i, int j, double si, double sj, double sk, int k) {
-    Mat3 b = a;
-    for (int c = 0; c < 3; ++c) {
-      a.m[0][c] = (i == 0 ? b.m[0][c] : (i == 1 ? b.m[1][c] : b.m[2][c]));
-    }
-    (void)j; (void)si; (void)sj; (void)sk; (void)k;
-  };
-  (void)swap_rows;
-
   for (int it = 0; it < max_iter; ++it) {
     double A, B, C, xi, eta, zeta;
     metrics(A, B, C, xi, eta, zeta);

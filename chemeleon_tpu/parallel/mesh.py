@@ -53,17 +53,16 @@ def shard_batch_tree(mesh: Mesh, tree: Any) -> Any:
 def param_spec(path: Tuple, leaf: jax.Array, tp: int) -> P:
     """Tensor-parallel sharding rule for decoder params.
 
-    2-D kernels whose output dim divides the model axis are sharded
-    column-wise; embeddings row-replicated. Everything else replicated.
-    The CSPNet hidden dim (512) divides any practical tp degree.
+    Every 2-D kernel/table whose output dim divides the model axis is
+    sharded column-wise — including the atom-type embedding table, whose
+    column-sharded lookup output is already laid out like the column-sharded
+    Dense kernels that consume it. Everything else (biases, LayerNorm
+    scales) is replicated. The CSPNet hidden dim (512) divides any
+    practical tp degree.
     """
     if tp <= 1:
         return P()
-    name = "/".join(str(getattr(p, "key", getattr(p, "name", p)))
-                    for p in path)
     if leaf.ndim == 2 and leaf.shape[-1] % tp == 0 and leaf.shape[-1] >= tp:
-        if "embedding" in name:
-            return P(None, MODEL_AXIS)
         return P(None, MODEL_AXIS)
     return P()
 

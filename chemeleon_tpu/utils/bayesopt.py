@@ -89,13 +89,16 @@ class TPEOptimizer:
             z = [d.sample_prior(self.rng) for d in self.dims]
             return {d.name: d.decode(v) for d, v in zip(self.dims, z)}
         good, bad = self._split()
+        # encode the observation history once per dim, not per candidate
+        enc = {d.name: (np.array([d.encode(o[d.name]) for o in good]),
+                        np.array([d.encode(o[d.name]) for o in bad]))
+               for d in self.dims}
         best_cfg, best_score = None, -math.inf
         for _ in range(self.n_candidates):
             cfg = {}
             score = 0.0
             for d in self.dims:
-                gvals = np.array([d.encode(o[d.name]) for o in good])
-                bvals = np.array([d.encode(o[d.name]) for o in bad])
+                gvals, bvals = enc[d.name]
                 z = self._draw(d, gvals)
                 score += (self._logpdf(d, z, gvals)
                           - self._logpdf(d, z, bvals))

@@ -160,6 +160,32 @@ def test_structure_validity():
     huge = Crystal(lattice_from_parameters(70, 4, 4, 90, 90, 90),
                    [[0, 0, 0]], [11])
     assert not structure_validity(huge)
+    # single atom 0.4 A from its own periodic image is invalid too
+    # (min_pair_distance covers self-images; no n>1 exemption)
+    thin = Crystal(lattice_from_parameters(0.4, 10, 10, 90, 90, 90),
+                   [[0, 0, 0]], [11])
+    assert not structure_validity(thin)
+
+
+def test_min_pair_distance_skewed_cell():
+    """A +-1 image search is only exact on a reduced basis: this sheared
+    cell's nearest image needs offset -2 in the raw basis (a' = a, b' with
+    b'_x = 1.9 a), so distances must be computed in the Niggli frame."""
+    a = 2.0
+    lat = np.array([[a, 0.0, 0.0],
+                    [1.9 * a, 3.0, 0.0],
+                    [0.0, 0.0, 9.0]])
+    st = Crystal(lat, [[0.0, 0.0, 0.0], [0.5, 0.5, 0.0]], [11, 17])
+    # brute force over a wide image set as ground truth
+    cart = st.cart_coords
+    best = np.inf
+    for i in range(-4, 5):
+        for j in range(-4, 5):
+            for k in range(-4, 5):
+                img = np.array([i, j, k], float) @ lat
+                d = np.linalg.norm(cart[1] + img - cart[0])
+                best = min(best, d)
+    assert st.min_pair_distance() == pytest.approx(best, abs=1e-6)
 
 
 def test_parse_cif_with_symmetry_ops():
