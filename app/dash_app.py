@@ -28,6 +28,10 @@ from chemeleon_tpu.serve.server import crystals_to_payload
 _results: "queue.Queue" = queue.Queue()
 _model = None
 _lock = threading.Lock()
+# one sampling job at a time: concurrent compiled scans contend on the one
+# TPU chip (serve/server.py serializes with a device lock for the same
+# reason) and interleave their payloads in the single output queue
+_job_active = threading.Event()
 
 
 def get_model():
@@ -40,15 +44,18 @@ def get_model():
 
 
 def _sample_worker(text, n_atoms, n_samples):
-    model = get_model()
-    total = model.cfg.timesteps
-    chunk = 100 if total % 100 == 0 else 1
-    t = total
-    for crystals in model.sample(text, n_atoms, n_samples, stream=True,
-                                 stream_chunk=chunk):
-        t -= chunk
-        _results.put(crystals_to_payload(crystals, step=t))
-    _results.put(None)
+    try:
+        model = get_model()
+        total = model.cfg.timesteps
+        chunk = 100 if total % 100 == 0 else 1
+        t = total
+        for crystals in model.sample(text, n_atoms, n_samples, stream=True,
+                                     stream_chunk=chunk):
+            t -= chunk
+            _results.put(crystals_to_payload(crystals, step=t))
+        _results.put(None)
+    finally:
+        _job_active.clear()
 
 
 app = dash.Dash(__name__)
@@ -70,6 +77,10 @@ app.layout = html.Div([
               State("prompt", "value"), State("n-atoms", "value"),
               State("n-samples", "value"), prevent_initial_call=True)
 def start(n_clicks, prompt, n_atoms, n_samples):
+    with _lock:  # atomic test-and-set: double-click spawns one worker
+        if _job_active.is_set():
+            return True
+        _job_active.set()
     threading.Thread(target=_sample_worker,
                      args=(prompt, int(n_atoms), int(n_samples)),
                      daemon=True).start()

@@ -50,11 +50,16 @@ def generate_local(text, n_atoms, n_samples, progress):
 
 def generate_remote(text, n_atoms, n_samples, progress):
     from chemeleon_tpu.serve.client import predict_stream
-    model_steps = 1000
+    # total timesteps are the server's cfg, unknown here; the first payload's
+    # step is the remaining count, so use it as the denominator and clamp
+    total = None
     snapshots = []
     for payload in predict_stream(SERVER_URL, text, n_atoms, n_samples):
+        step = payload.get("step", 0)
+        if total is None:
+            total = max(step, 1)
         snapshots.append([Crystal.from_dict(d) for d in payload["atoms"]])
-        progress.progress(1.0 - payload.get("step", 0) / model_steps)
+        progress.progress(min(max(1.0 - step / total, 0.0), 1.0))
     return snapshots
 
 
@@ -80,6 +85,9 @@ def main():
             snapshots = generate_remote(text, n_atoms, n_samples, progress)
         else:
             snapshots = generate_local(text, n_atoms, n_samples, progress)
+    if not snapshots:
+        st.error("Generation failed: the server returned no structures.")
+        return
     final = snapshots[-1]
 
     tabs = st.tabs([f"Sample {i}" for i in range(len(final))])

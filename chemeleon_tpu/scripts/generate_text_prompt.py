@@ -38,14 +38,22 @@ def template_prompt(row: Dict[str, str], rng: random.Random) -> str:
         return f"A crystal structure of {row.get('composition', 'unknown')}"
 
 
-def llm_prompt(row: Dict[str, str]) -> Optional[str]:
+def _make_llm_client():
+    """One client (HTTP session) for the whole CSV, not one per row."""
     if not os.environ.get("OPENAI_API_KEY"):
         return None
     try:
         from openai import OpenAI
     except ImportError:
         return None
-    client = OpenAI(base_url=os.environ.get("OPENAI_BASE_URL"))
+    return OpenAI(base_url=os.environ.get("OPENAI_BASE_URL"))
+
+
+def llm_prompt(row: Dict[str, str], client=None) -> Optional[str]:
+    if client is None:
+        client = _make_llm_client()
+    if client is None:
+        return None
     msg = (f"Write one short caption describing an inorganic crystal with "
            f"composition {row.get('composition')} in the "
            f"{row.get('crystal_system')} crystal system, space group "
@@ -66,13 +74,18 @@ def generate_prompts(csv_in: str, csv_out: str, use_llm: bool = False,
     csv.field_size_limit(10 ** 9)
     rng = random.Random(seed)
     with open(csv_in) as f:
-        rows = list(csv.DictReader(f))
+        reader = csv.DictReader(f)
+        fieldnames = list(reader.fieldnames or [])
+        rows = list(reader)
+    client = _make_llm_client() if use_llm else None
     for row in rows:
-        p = llm_prompt(row) if use_llm else None
+        p = llm_prompt(row, client) if use_llm else None
         row["prompt"] = p or template_prompt(row, rng)
     Path(csv_out).parent.mkdir(parents=True, exist_ok=True)
+    if "prompt" not in fieldnames:
+        fieldnames.append("prompt")
     with open(csv_out, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w = csv.DictWriter(f, fieldnames=fieldnames)
         w.writeheader()
         w.writerows(rows)
     return len(rows)

@@ -26,7 +26,11 @@ def predict_stream(url: str, text_input: str, n_atoms: int, n_samples: int,
             while b"\n" in buf:
                 line, buf = buf.split(b"\n", 1)
                 if line.strip():
-                    yield json.loads(line)
+                    payload = json.loads(line)
+                    if "error" in payload:  # in-band mid-stream failure
+                        raise RuntimeError(
+                            f"server error: {payload['error']}")
+                    yield payload
 
 
 def predict(url: str, text_input: str, n_atoms: int, n_samples: int,

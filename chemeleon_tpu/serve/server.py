@@ -210,6 +210,11 @@ class ChemeleonServer:
     # -- http plumbing ----------------------------------------------------------
     def make_handler(server_self):
         class Handler(BaseHTTPRequestHandler):
+            # chunked transfer-coding is an HTTP/1.1 feature; the stdlib
+            # default (HTTP/1.0) would make the /predict stream invalid for
+            # spec-compliant clients
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, fmt, *args):
                 pass
 
@@ -231,6 +236,8 @@ class ChemeleonServer:
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(length) or b"{}")
+                    if not isinstance(body, dict):
+                        raise ValueError("request body must be a JSON object")
                     req = server_self.decode_request(body)
                 except (ValueError, json.JSONDecodeError) as e:
                     self.send_error(400, str(e))
@@ -257,11 +264,21 @@ class ChemeleonServer:
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
                 try:
-                    for line in server_self.predict_stream(req):
-                        data = (line + "\n").encode()
+                    try:
+                        for line in server_self.predict_stream(req):
+                            data = (line + "\n").encode()
+                            self.wfile.write(f"{len(data):X}\r\n".encode())
+                            self.wfile.write(data + b"\r\n")
+                            self.wfile.flush()
+                    except Exception as e:  # model/device failure mid-stream
+                        # the 200 is already on the wire; signal the failure
+                        # as a final in-band error line so the client is not
+                        # left with a silently truncated stream
+                        data = (json.dumps(
+                            {"error": " ".join(str(e).split())[:500]})
+                            + "\n").encode()
                         self.wfile.write(f"{len(data):X}\r\n".encode())
                         self.wfile.write(data + b"\r\n")
-                        self.wfile.flush()
                     self.wfile.write(b"0\r\n\r\n")
                 except (BrokenPipeError, ConnectionResetError):
                     pass

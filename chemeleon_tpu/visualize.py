@@ -56,11 +56,12 @@ class Visualizer:
         frames = [step[index] for step in trajectory[::stride]]
         if self.backend == "plotly":
             return self._plotly_animation(frames, save_path)
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+        # Figure() directly, NOT plt.figure(): pyplot's global registry
+        # would keep every figure alive for the process lifetime (a leak in
+        # long-running apps that render per request)
+        from matplotlib.figure import Figure
         n = len(frames)
-        fig = plt.figure(figsize=(3 * n, 3))
+        fig = Figure(figsize=(3 * n, 3))
         for i, c in enumerate(frames):
             ax = fig.add_subplot(1, n, i + 1, projection="3d")
             self._mpl_draw(ax, c)
@@ -92,17 +93,15 @@ class Visualizer:
 
     def _mpl_figure(self, crystal: Crystal, show: bool = False,
                     save_path: Optional[str] = None):
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-        fig = plt.figure(figsize=(5, 5))
+        # see view_trajectory: registry-free Figure, no pyplot state.
+        # ``show`` was already a no-op under the forced Agg backend.
+        from matplotlib.figure import Figure
+        fig = Figure(figsize=(5, 5))
         ax = fig.add_subplot(projection="3d")
         self._mpl_draw(ax, crystal)
         ax.set_title(crystal.formula())
         if save_path:
             fig.savefig(save_path, dpi=120, bbox_inches="tight")
-        if show:
-            plt.show()
         return fig
 
     # -- plotly backend -------------------------------------------------------------

@@ -42,6 +42,9 @@ def main() -> None:
     from chemeleon_tpu.config import get_config
     from chemeleon_tpu.train.trainer import Trainer
 
+    if args.wandb:
+        return _wandb_sweep(args)
+
     opt = TPEOptimizer(SWEEP_SPACE, seed=args.seed,
                        n_startup=(args.count if args.method == "random"
                                   else min(10, max(3, args.count // 5))))
@@ -72,6 +75,46 @@ def main() -> None:
     best = min((r for r in results if "best_val_loss" in r),
                key=lambda r: r["best_val_loss"], default=None)
     print("best:", json.dumps(best, indent=2))
+
+
+def _wandb_sweep(args) -> None:
+    """The reference behavior verbatim (reference sweep.py:18-33): delegate
+    Bayesian optimization to the wandb sweep backend. Requires wandb +
+    network access; the in-repo TPE path above is the offline default."""
+    try:
+        import wandb
+    except ImportError as e:
+        raise SystemExit(
+            "--wandb requires the wandb package (not available offline); "
+            "drop the flag to use the in-repo TPE sweep") from e
+
+    from chemeleon_tpu.config import get_config
+    from chemeleon_tpu.train.trainer import Trainer
+
+    sweep_config = {  # reference sweep.py:20-31
+        "method": "bayes",
+        "metric": {"name": "val/loss", "goal": "minimize"},
+        "parameters": {
+            "batch_size": {"values": SWEEP_SPACE["batch_size"]},
+            "hidden_dim": {"values": SWEEP_SPACE["hidden_dim"]},
+            "num_layers": {"values": SWEEP_SPACE["num_layers"]},
+            "lr": {"distribution": "log_uniform_values",
+                   "min": SWEEP_SPACE["lr"][1], "max": SWEEP_SPACE["lr"][2]},
+            "weight_decay": {"min": SWEEP_SPACE["weight_decay"][0],
+                             "max": SWEEP_SPACE["weight_decay"][1]},
+            "optimizer": {"values": SWEEP_SPACE["optimizer"]},
+        },
+    }
+    sweep_id = wandb.sweep(sweep_config, project="chemeleon-tpu")
+
+    def run_trial():
+        with wandb.init() as run:
+            cfg = get_config(args.named_config, offline=False,
+                             **dict(run.config))
+            out = Trainer(cfg).fit(max_epochs=args.max_epochs)
+            run.log({"val/loss": out["best_val_loss"]})
+
+    wandb.agent(sweep_id, function=run_trial, count=args.count)
 
 
 if __name__ == "__main__":

@@ -416,7 +416,9 @@ def test_server_rejects_oversized_and_bad_requests(model):
 
         for bad in [{"n_samples": 100000, "n_atoms": 4},
                     {"n_samples": 0, "n_atoms": 4},
-                    {"n_samples": 1, "n_atoms": 10 ** 6}]:
+                    {"n_samples": 1, "n_atoms": 10 ** 6},
+                    [],                       # non-object JSON body
+                    "just a string"]:
             with pytest.raises(urllib.error.HTTPError) as ei:
                 post(bad)
             assert ei.value.code == 400
