@@ -13,10 +13,11 @@ the throughput-weighted aggregate: 708 structures / sum(count_N / sps_N).
 Per-bucket numbers are in `detail.buckets`.
 
 `detail.valid_frac` reports the fraction of samples passing the reference
-validity criterion (evaluate.py:177-189) from the smoke-trained checkpoint
-(logs/mp40_smoke) — raw-throughput numbers from a random-init model say
-nothing about the "1000 *valid* structures" target, so validity is measured
-on a model that actually learned mp-40 structure.
+validity criterion (evaluate.py:177-189) from the best real-data-trained
+checkpoint on disk (logs/mp40_big, else logs/mp40_smoke) — raw-throughput
+numbers from a random-init model say nothing about the "1000 *valid*
+structures" target, so validity is measured on a model that actually
+learned mp-40 structure.
 
 Env knobs: BENCH_MODE=mix|single (default mix), BENCH_VALID=0 to skip the
 validity pass, and for single mode BENCH_BATCH / BENCH_NATOMS /
@@ -50,7 +51,15 @@ MP40_BUCKET_MIX = {8: 36, 12: 54, 16: 83, 20: 127, 24: 19, 32: 99, 36: 131,
 BUCKET_BATCH = {8: 128, 12: 128, 16: 128, 20: 64, 24: 48, 32: 32, 36: 48,
                 40: 32}
 
-SMOKE_CKPT = Path(__file__).parent / "logs" / "mp40_smoke" / "checkpoints" / "best"
+# best available real-data-trained checkpoint, in preference order:
+# mp40_big (hidden 384, 6 layers, val/loss 2.84: 0.61 raw / 0.95 post-relax
+# validity) over the original mp40_smoke (hidden 256, 4L: 0.48 / 0.92)
+_CKPT_CANDIDATES = [
+    Path(__file__).parent / "logs" / "mp40_big" / "checkpoints" / "best",
+    Path(__file__).parent / "logs" / "mp40_smoke" / "checkpoints" / "best",
+]
+SMOKE_CKPT = next((p for p in _CKPT_CANDIDATES if p.exists()),
+                  _CKPT_CANDIDATES[0])
 
 
 def _enable_compilation_cache():
@@ -185,9 +194,10 @@ def run_mix():
             "valid_frac": valid_frac,
             "valid_frac_relaxed": valid_frac_relaxed,
             "valid_frac_note": (
-                f"{n_validity_samples} samples from the smoke-trained "
-                "checkpoint (logs/mp40_smoke), real mp-40 composition "
-                "prompts at true atom counts, reference validity criterion; "
+                f"{n_validity_samples} samples from the real-data-trained "
+                f"checkpoint ({SMOKE_CKPT.parent.parent.name}), real mp-40 "
+                "composition prompts at true atom counts, reference "
+                "validity criterion; "
                 "_relaxed = after the soft-sphere FIRE stage (the "
                 "reference's optimize.py post-step)"
                 if valid_frac is not None else skip_reason),

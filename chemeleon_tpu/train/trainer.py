@@ -217,13 +217,16 @@ class Trainer:
                 self.logger.log(val_metrics, global_step)
                 history.append(val_metrics)
 
-                self.save_checkpoint("last", params, opt_state, epoch,
-                                     global_step, val_loss)
+                stop = self.early.update(val_loss)
+                last_epoch = epoch == max_epochs - 1 or stop
+                if last_epoch or epoch % cfg.checkpoint_every_n_epochs == 0:
+                    self.save_checkpoint("last", params, opt_state, epoch,
+                                         global_step, val_loss)
                 if val_loss < best_val:
                     best_val = val_loss
                     self.save_checkpoint("best", params, opt_state, epoch,
                                          global_step, val_loss)
-                if self.early.update(val_loss):
+                if stop:
                     break
         finally:
             # always leave the model holding LIVE params: the train step
