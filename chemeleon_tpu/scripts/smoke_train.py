@@ -55,6 +55,10 @@ def main() -> None:
     ap.add_argument("--scheduler", default="constant",
                     choices=["constant", "cosine", "linear_decay",
                              "reduce_on_plateau"])
+    ap.add_argument("--ckpt-every", type=int, default=1,
+                    help="rolling-last checkpoint cadence in epochs (the "
+                         "save is a blocking ~4s device pull; raise for "
+                         "short-epoch runs)")
     ap.add_argument("--eval-rows", type=int, default=8)
     ap.add_argument("--eval-samples", type=int, default=8)
     args = ap.parse_args()
@@ -71,13 +75,15 @@ def main() -> None:
         hidden_dim=args.hidden, num_layers=args.layers, num_freqs=64,
         time_dim=64, text_dim=128, text_embed_dim=128, batch_size=args.batch,
         lr=args.lr, scheduler=args.scheduler, early_stopping=10 ** 6,
-        max_epochs=args.epochs)
+        checkpoint_every_n_epochs=args.ckpt_every, max_epochs=args.epochs)
     trainer = Trainer(cfg, text_backend="hash")
     result = trainer.fit()
     losses = [h["val/loss"] for h in result["history"]]
     print(json.dumps({"val_loss_first": losses[0], "val_loss_last": losses[-1],
                       "val_loss_best": min(losses), "epochs": len(losses)}))
 
+    if args.eval_rows <= 0 or args.eval_samples <= 0:
+        return
     # quick evaluation on a few held-out rows
     from chemeleon_tpu.eval.evaluate import test_evaluate
     means = test_evaluate(trainer.model,

@@ -512,3 +512,20 @@ def test_model_params_live_after_aborted_fit(data_dir, tmp_path, monkeypatch):
     total = sum(float(np.abs(np.asarray(x)).sum())
                 for x in jax.tree.leaves(tr.model.params))
     assert np.isfinite(total)
+
+
+def test_checkpoint_cadence_still_saves_final_last(data_dir, tmp_path):
+    """checkpoint_every_n_epochs > 1 skips intermediate rolling saves but a
+    final 'last' (and every improved 'best') is always written."""
+    from chemeleon_tpu.train.trainer import Trainer
+
+    cfg = get_config("chemeleon_bert_prompt", data_dir=data_dir,
+                     log_dir=str(tmp_path / "logs_cad"),
+                     checkpoint_every_n_epochs=100, **TINY)
+    tr = Trainer(cfg, text_backend="hash")
+    out = tr.fit(max_epochs=3)
+    with open(tr.ckpt_dir / "last" / "meta.json") as f:
+        meta = json.load(f)
+    assert meta["epoch"] == 2  # final epoch, despite cadence 100
+    assert (tr.ckpt_dir / "best").exists()
+    assert out["epochs"] == 3
