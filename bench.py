@@ -14,7 +14,7 @@ Per-bucket numbers are in `detail.buckets`.
 
 `detail.valid_frac` reports the fraction of samples passing the reference
 validity criterion (evaluate.py:177-189) from the best real-data-trained
-checkpoint on disk (logs/mp40_big, else logs/mp40_smoke) — raw-throughput
+checkpoint on disk (logs/mp40_full > mp40_big > mp40_smoke) — raw-throughput
 numbers from a random-init model say nothing about the "1000 *valid*
 structures" target, so validity is measured on a model that actually
 learned mp-40 structure.
@@ -51,10 +51,12 @@ MP40_BUCKET_MIX = {8: 36, 12: 54, 16: 83, 20: 127, 24: 19, 32: 99, 36: 131,
 BUCKET_BATCH = {8: 128, 12: 128, 16: 128, 20: 64, 24: 48, 32: 32, 36: 48,
                 40: 32}
 
-# best available real-data-trained checkpoint, in preference order:
-# mp40_big (hidden 384, 6 layers, val/loss 2.84: 0.61 raw / 0.95 post-relax
-# validity) over the original mp40_smoke (hidden 256, 4L: 0.48 / 0.92)
+# best available real-data-trained checkpoint, in preference order by
+# measured raw/post-relax validity on 64 held-out composition prompts:
+# mp40_full (hidden 512, 6L: 0.69 / 0.97) > mp40_big (384, 6L: 0.61 /
+# 0.95) > mp40_smoke (256, 4L: 0.48 / 0.92)
 _CKPT_CANDIDATES = [
+    Path(__file__).parent / "logs" / "mp40_full" / "checkpoints" / "best",
     Path(__file__).parent / "logs" / "mp40_big" / "checkpoints" / "best",
     Path(__file__).parent / "logs" / "mp40_smoke" / "checkpoints" / "best",
 ]
