@@ -428,3 +428,48 @@ def test_server_rejects_oversized_and_bad_requests(model):
             assert len(json.loads(r.read())["atoms"]) == 1
     finally:
         server.shutdown()
+
+
+def test_generate_prompts_template_and_empty(tmp_path):
+    """Prompt generation (reference generate_text_prompt.py): template path
+    fills a prompt column; a header-only CSV writes a valid empty output
+    instead of crashing."""
+    import csv as _csv
+    from chemeleon_tpu.scripts.generate_text_prompt import generate_prompts
+
+    src = tmp_path / "in.csv"
+    with open(src, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["composition", "crystal_system"])
+        w.writeheader()
+    assert generate_prompts(str(src), str(tmp_path / "out0.csv")) == 0
+    assert (tmp_path / "out0.csv").read_text().startswith("composition")
+
+    with open(src, "a", newline="") as f:
+        _csv.DictWriter(f, fieldnames=["composition", "crystal_system"]) \
+            .writerow({"composition": "TiO2", "crystal_system": "tetragonal"})
+    assert generate_prompts(str(src), str(tmp_path / "out1.csv")) == 1
+    row = list(_csv.DictReader(open(tmp_path / "out1.csv")))[0]
+    assert "TiO2" in row["prompt"]
+
+
+def test_stream_error_surfaces_to_client(model, monkeypatch):
+    """A model failure mid-stream must reach the client as an error, not a
+    silently truncated 200 NDJSON stream."""
+    from chemeleon_tpu.serve.client import predict_stream
+    from chemeleon_tpu.serve.server import ChemeleonServer
+
+    server = ChemeleonServer(model=model, host="127.0.0.1",
+                             port=_free_port(), stream_chunk=5)
+
+    def boom(req):
+        yield '{"atoms": []}'
+        raise RuntimeError("device fell over")
+
+    monkeypatch.setattr(server, "predict_stream", boom)
+    server.run(background=True)
+    try:
+        url = f"http://127.0.0.1:{server.port}"
+        with pytest.raises(RuntimeError, match="device fell over"):
+            list(predict_stream(url, "TiO2", 4, 1, timeout=60))
+    finally:
+        server.shutdown()
