@@ -29,7 +29,7 @@ SWEEP_SPACE = {
 }
 
 
-def main() -> None:
+def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--count", type=int, default=100)
     ap.add_argument("--max-epochs", type=int, default=5)
@@ -37,15 +37,41 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--method", choices=["bayes", "random"], default="bayes")
     ap.add_argument("--wandb", action="store_true")
-    args = ap.parse_args()
+    ap.add_argument("--space-json", default=None,
+                    help="JSON dict overriding the sweep space: lists are "
+                         "categorical, [lo, hi] pairs via "
+                         '{"_range": [lo, hi]} / {"_logrange": [lo, hi]}')
+    ap.add_argument("--out", default="sweep_results.json")
+    ap.add_argument("fixed", nargs="*", metavar="key=value",
+                    help="fixed config overrides applied to every trial "
+                         "(same syntax as run.py), e.g. data_dir=... "
+                         "hidden_dim=512")
+    args = ap.parse_args(argv)
 
+    from run import _coerce
     from chemeleon_tpu.config import get_config
     from chemeleon_tpu.train.trainer import Trainer
+
+    fixed = {}
+    for kv in args.fixed:
+        k, _, v = kv.partition("=")
+        fixed[k] = _coerce(v)
+
+    space = SWEEP_SPACE
+    if args.space_json:
+        space = {}
+        for k, v in json.loads(args.space_json).items():
+            if isinstance(v, dict) and "_range" in v:
+                space[k] = tuple(v["_range"])
+            elif isinstance(v, dict) and "_logrange" in v:
+                space[k] = ("log", *v["_logrange"])
+            else:
+                space[k] = v
 
     if args.wandb:
         return _wandb_sweep(args)
 
-    opt = TPEOptimizer(SWEEP_SPACE, seed=args.seed,
+    opt = TPEOptimizer(space, seed=args.seed,
                        n_startup=(args.count if args.method == "random"
                                   else min(10, max(3, args.count // 5))))
     results = []
@@ -55,7 +81,7 @@ def main() -> None:
     FAIL_PENALTY = 1e9
     for trial in range(args.count):
         overrides = opt.suggest()
-        cfg = get_config(args.named_config,
+        cfg = get_config(args.named_config, **fixed,
                          exp_name=f"sweep_{trial}", **overrides)
         try:
             tr = Trainer(cfg)
@@ -71,7 +97,7 @@ def main() -> None:
             # otherwise TPE keeps re-proposing NaN-loss configs
             opt.observe(overrides, FAIL_PENALTY)
             results.append({"trial": trial, **overrides, "error": str(e)})
-        Path("sweep_results.json").write_text(json.dumps(results, indent=2))
+        Path(args.out).write_text(json.dumps(results, indent=2))
     best = min((r for r in results if "best_val_loss" in r),
                key=lambda r: r["best_val_loss"], default=None)
     print("best:", json.dumps(best, indent=2))
