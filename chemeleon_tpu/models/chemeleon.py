@@ -404,6 +404,38 @@ class Chemeleon:
         self._sampler_cache[sig] = run
         return run
 
+    def _prepare_sampling_inputs(self, natoms, texts, key,
+                                 n_max: Optional[int] = None):
+        """Shared input validation + empty batch + text conditioning for
+        sample_batch and the streaming path (kept in ONE place so fixes
+        reach both)."""
+        if self.params is None:
+            raise RuntimeError("call init_params() or load a checkpoint "
+                               "before sampling")
+        cfg = self.cfg
+        if cfg.text_guide and texts is None:
+            raise ValueError(
+                "this model is text-guided (cfg.text_guide=True): pass a "
+                "prompt (sample) / texts list (sample_batch)")
+        if texts is not None and len(natoms) != len(texts):
+            raise ValueError(
+                "natoms and texts must have the same number of elements.")
+        if n_max is not None and natoms and n_max < max(natoms):
+            raise ValueError(
+                f"n_max={n_max} is smaller than the largest requested "
+                f"structure ({max(natoms)} atoms) — results would be "
+                "silently truncated")
+        if key is None:
+            key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+        batch0 = make_empty_batch(natoms, n_max=n_max,
+                                  buckets=cfg.pad_buckets)
+        B = batch0.atom_types.shape[0]
+        text_embeds = null_embeds = jnp.zeros((B, max(cfg.text_dim, 1)))
+        if cfg.text_guide:
+            text_embeds, null_embeds = self.text_encoder.embed_cond_and_null(
+                self.params["text"], texts)
+        return batch0, text_embeds, null_embeds, key
+
     def sample_batch(self, natoms: List[int],
                      texts: Optional[List[str]] = None,
                      cond_scale: float = 2.0, step_lr: float = 1e-5,
@@ -419,21 +451,10 @@ class Chemeleon:
         program, bitwise-equal to single-device per
         test_sharded_sampling_matches_single_device). len(natoms) must be
         divisible by the data-axis size."""
-        assert self.params is not None, "call init_params() or load a checkpoint"
-        if texts is not None:
-            assert len(natoms) == len(texts), \
-                "natoms and texts must have the same number of elements."
-        if key is None:
-            key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
-
         cfg = self.cfg
-        batch0 = make_empty_batch(natoms, n_max=n_max, buckets=cfg.pad_buckets)
+        batch0, text_embeds, null_embeds, key = \
+            self._prepare_sampling_inputs(natoms, texts, key, n_max)
         B, N = batch0.atom_types.shape
-
-        text_embeds = null_embeds = jnp.zeros((B, max(cfg.text_dim, 1)))
-        if cfg.text_guide:
-            text_embeds, null_embeds = self.text_encoder.embed_cond_and_null(
-                self.params["text"], texts)
 
         decoder_params = self.params["decoder"]
         batch_natoms = batch0.natoms
@@ -473,6 +494,16 @@ class Chemeleon:
             container = TrajectoryContainer.from_scan_output(
                 natoms_np, np.asarray(tt), np.asarray(tx), np.asarray(tl),
                 total_steps=cfg.timesteps)
+            # container[T] is the initial pure-noise state (the documented
+            # index convention; reference chemeleon.py:361-368 records it).
+            # init_sampler_state is deterministic in `key`, so re-deriving
+            # it host-side reproduces exactly what the scan started from.
+            state0, _ = init_sampler_state(key, batch0.natoms, N)
+            container[cfg.timesteps] = TrajectoryStep(
+                natoms=natoms_np,
+                atom_types=np.asarray(state0.atom_types),
+                frac_coords=np.asarray(state0.frac_coords),
+                lattices=np.asarray(state0.lattices))
             return container
         step = TrajectoryStep(natoms=natoms_np,
                               atom_types=np.asarray(final.atom_types),
@@ -502,20 +533,12 @@ class Chemeleon:
         """Generator yielding crystals every ``chunk`` steps via chunked scans
         (the jit-compatible analog of the reference's per-step streaming,
         chemeleon.py:379-467 / app/server.py:22-47)."""
-        assert self.params is not None
         cfg = self.cfg
-        assert cfg.timesteps % chunk == 0, "chunk must divide timesteps"
-        if key is None:
-            key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
-        if texts is not None:
-            assert len(natoms) == len(texts)
-
-        batch0 = make_empty_batch(natoms, buckets=cfg.pad_buckets)
+        if cfg.timesteps % chunk != 0:
+            raise ValueError("chunk must divide timesteps")
+        batch0, text_embeds, null_embeds, key = \
+            self._prepare_sampling_inputs(natoms, texts, key)
         B, N = batch0.atom_types.shape
-        text_embeds = null_embeds = jnp.zeros((B, max(cfg.text_dim, 1)))
-        if cfg.text_guide:
-            text_embeds, null_embeds = self.text_encoder.embed_cond_and_null(
-                self.params["text"], texts)
 
         run = self._get_compiled_sampler(B, N, False, chunk)
         state, _ = init_sampler_state(key, batch0.natoms, N)

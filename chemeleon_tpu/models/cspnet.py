@@ -114,12 +114,13 @@ class CSPLayer(nn.Module):
     @nn.compact
     def __call__(self, node_features: jnp.ndarray, fourier_ij: jnp.ndarray,
                  lat_ip_flat: jnp.ndarray, pair_mask: jnp.ndarray,
-                 mask: jnp.ndarray,
                  neighbors: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
                  ) -> jnp.ndarray:
         """fc mode: fourier_ij [B, N, N, D], pair_mask [B, N, N].
         knn mode (``neighbors=(nbr_j, nbr_mask)``, each [B, N, K]):
-        fourier_ij [B, N, K, D]; pair_mask unused."""
+        fourier_ij [B, N, K, D]; pair_mask unused. Padded nodes are handled
+        entirely by pair_mask/nbr_mask and the downstream masked
+        reductions — no per-node mask is needed here."""
         H, D = self.hidden_dim, self.dis_dim
         in_dim = 2 * H + 9 + D
 
@@ -251,6 +252,12 @@ class CSPNet(nn.Module):
                  text_embeds: Optional[jnp.ndarray] = None) -> DecoderOutputs:
         dt = self.dtype
         B, N = atom_types.shape
+        if self.act_fn != "silu":
+            # the reference supports only silu and fails loudly otherwise
+            # (cspnet.py:213-214: self.act_fn set only when act_fn=='silu');
+            # raise here instead of silently ignoring the config
+            raise ValueError(f"unsupported act_fn {self.act_fn!r} "
+                             "(only 'silu', as upstream)")
 
         # Edge generation, once per forward (reference gen_edges,
         # cspnet.py:319-343, computed once and reused by every layer).
@@ -270,9 +277,13 @@ class CSPNet(nn.Module):
         if self.dis_emb == "sin":
             fourier_ij = sinusoids_embedding(frac_diff, self.num_freqs)
             dis_dim = self.num_freqs * 2 * 3
-        else:
-            fourier_ij = frac_diff
+        elif self.dis_emb in (None, "none"):  # raw frac diff (reference
+            fourier_ij = frac_diff            # dis_emb=None, cspnet.py:104)
             dis_dim = 3
+        else:
+            # a typo like 'sine' must not silently change the architecture
+            raise ValueError(f"unknown dis_emb {self.dis_emb!r} "
+                             "(expected 'sin' or None)")
         # Fourier storage dtype, size-gated by measurement: at small N the
         # per-layer fused convert wins (explicit bf16 cast measured 17.6 vs
         # 18.7 structs/s @ N=16 — it materializes an extra copy); at large N
@@ -330,7 +341,7 @@ class CSPNet(nn.Module):
                 h = film(h, cond)
             h = layer_cls(self.hidden_dim, dis_dim, ln=self.ln, ip=self.ip,
                           name=f"csp_layer_{i}", dtype=dt)(
-                h, fourier_ij, lat_ip_flat, pair_mask, mask,
+                h, fourier_ij, lat_ip_flat, pair_mask,
                 neighbors=neighbors)
 
         if self.ln:

@@ -73,6 +73,10 @@ def make_empty_batch(natoms: Sequence[int], n_max: int | None = None,
     natoms_arr = np.asarray(natoms, dtype=np.int32)
     if n_max is None:
         n_max = pick_bucket(int(natoms_arr.max()), buckets)
+    elif natoms_arr.size and n_max < int(natoms_arr.max()):
+        raise ValueError(
+            f"n_max={n_max} < largest structure ({int(natoms_arr.max())} "
+            "atoms): the batch would silently truncate it")
     B = len(natoms_arr)
     return CrystalBatch(
         atom_types=jnp.zeros((B, n_max), jnp.int32),
@@ -90,6 +94,10 @@ def batch_from_arrays(atom_types_list: List[np.ndarray],
     natoms = np.asarray([len(a) for a in atom_types_list], dtype=np.int32)
     if n_max is None:
         n_max = pick_bucket(int(natoms.max()), buckets)
+    elif natoms.size and n_max < int(natoms.max()):
+        raise ValueError(
+            f"n_max={n_max} < largest structure ({int(natoms.max())} "
+            "atoms): the batch would silently truncate it")
     B = len(atom_types_list)
     types = np.zeros((B, n_max), np.int32)
     coords = np.zeros((B, n_max, 3), np.float32)

@@ -60,7 +60,7 @@ def test_stream_matches_batch(model):
 def test_trajectory(model):
     traj = model.sample("TiO2", 4, 2, return_trajectory=True,
                         key=jax.random.PRNGKey(4))
-    assert len(traj) == 20  # t = T-1 .. 0
+    assert len(traj) == 21  # t = T (initial noise) .. 0
     last_step = traj[-1]
     assert len(last_step) == 2
 
@@ -70,6 +70,10 @@ def test_trajectory_container_api(model):
                               key=jax.random.PRNGKey(5),
                               return_trajectory=True)
     assert 0 in cont and 19 in cont
+    # container[T] is the initial pure-noise state (the documented index
+    # convention; the reference records it, chemeleon.py:361-368)
+    assert 20 in cont
+    assert (np.asarray(cont[20].atom_types) == 0).all()  # all-dummy start
     crystals = cont.get_atoms(0)
     assert [len(c) for c in crystals] == [4, 6]
 
@@ -108,3 +112,29 @@ def test_baseline_config1_smoke(model):
         assert len(c) == 6
         cif = c.to_cif()
         assert "_cell_length_a" in cif and cif.count("  1") >= 6
+
+
+def test_input_validation_errors(model):
+    """Silent-misuse guards: truncating n_max, missing prompt on a guided
+    model, mismatched lengths — all raise clear ValueErrors."""
+    with pytest.raises(ValueError, match="truncat"):
+        model.sample_batch([12], ["TiO2"], n_max=8,
+                           key=jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="text-guided"):
+        model.sample_batch([4], None, key=jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="same number"):
+        model.sample_batch([4, 4], ["TiO2"], key=jax.random.PRNGKey(0))
+    from chemeleon_tpu.models.chemeleon import Chemeleon as _C
+    m = _C(get_config(None, **TINY), text_backend="hash")
+    with pytest.raises(RuntimeError, match="init_params"):
+        m.sample_batch([4], ["TiO2"], key=jax.random.PRNGKey(0))
+
+
+def test_architecture_typos_fail_loudly():
+    """dis_emb/act_fn typos must raise, not silently change the network."""
+    import jax.numpy as jnp
+    for bad in (dict(dis_emb="sine"), dict(act_fn="relu")):
+        cfg = get_config(None, **{**TINY, **bad})
+        m = Chemeleon(cfg, text_backend="hash")
+        with pytest.raises(ValueError):
+            m.init_params(jax.random.PRNGKey(0))
