@@ -121,6 +121,15 @@ class ChemeleonConfig:
     # Must satisfy r >= ceil(cutoff / min plane spacing); 1 suffices for
     # mp-40 cells at the default 6 A cutoff.
     knn_image_range: int = 1
+    # Validity-monitored checkpointing: every N epochs, sample a small
+    # batch from the current params and track the fraction passing the
+    # reference validity criterion; the best-validity params are saved as
+    # the "best_validity" checkpoint. Motivated by a measured decoupling:
+    # at small-data scale the best-val/loss checkpoint is NOT the
+    # best-geometry one (BENCH.md "Real-data learning check"). 0 = off.
+    validity_check_every_n_epochs: int = 0
+    validity_check_samples: int = 16
+    validity_check_natoms: int = 16
     # Cadence of the rolling "last" checkpoint (1 = every epoch, the
     # reference ModelCheckpoint(save_last=True) behavior). The save is a
     # blocking device->host pull of params+opt state (~4 s for a 10M-param

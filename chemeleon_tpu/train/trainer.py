@@ -116,6 +116,27 @@ class Trainer:
             count += B
         return {f"val/{k}": v / max(count, 1) for k, v in agg.items()}
 
+    def _sampled_validity(self, params, epoch: int) -> float:
+        """Fraction of freshly sampled structures passing the reference
+        validity criterion (evaluate.py:177-189). Drives the
+        'best_validity' checkpoint — at small-data scale val/loss and
+        sample geometry decouple (BENCH.md), so selecting on loss alone
+        keeps a worse generator."""
+        from chemeleon_tpu.chem.validity import structure_validity
+
+        cfg = self.cfg
+        n = cfg.validity_check_samples
+        # the model must sample from the CURRENT live params (its own
+        # .params reference is stale mid-fit because train steps donate)
+        self.model.params = params
+        texts = None
+        if cfg.text_guide:
+            texts = ["validity probe"] * n
+        crystals = self.model.sample_batch(
+            [cfg.validity_check_natoms] * n, texts,
+            key=jax.random.fold_in(jax.random.PRNGKey(cfg.seed ^ 0x5A), epoch))
+        return sum(structure_validity(c) for c in crystals) / max(n, 1)
+
     def fit(self, max_epochs: Optional[int] = None,
             resume_from: Optional[str] = None) -> Dict[str, Any]:
         cfg = self.cfg
@@ -178,6 +199,7 @@ class Trainer:
             with open(best_meta) as f:
                 best_val = float(json.load(f)["val_loss"])
         history = []
+        best_validity = -1.0
         epoch = start_epoch - 1  # resume from a completed run: loop may not run
         try:
             for epoch in range(start_epoch, max_epochs):
@@ -212,6 +234,15 @@ class Trainer:
                 val_loss = val_metrics.get("val/loss", float("inf"))
                 lr = self.lr_sched.on_validation(val_loss)
                 opt_state = set_learning_rate(opt_state, lr)
+                k_val = cfg.validity_check_every_n_epochs
+                if k_val > 0 and epoch % k_val == 0:
+                    frac = self._sampled_validity(params, epoch)
+                    val_metrics["val/validity"] = frac
+                    if frac > best_validity:
+                        best_validity = frac
+                        self.save_checkpoint("best_validity", params,
+                                             opt_state, epoch, global_step,
+                                             val_loss)
                 val_metrics["epoch"] = epoch
                 val_metrics["epoch_time"] = time.time() - t0
                 self.logger.log(val_metrics, global_step)

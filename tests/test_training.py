@@ -529,3 +529,22 @@ def test_checkpoint_cadence_still_saves_final_last(data_dir, tmp_path):
     assert meta["epoch"] == 2  # final epoch, despite cadence 100
     assert (tr.ckpt_dir / "best").exists()
     assert out["epochs"] == 3
+
+
+def test_validity_monitored_checkpoint(data_dir, tmp_path):
+    """validity_check_every_n_epochs samples from the live params each N
+    epochs, logs val/validity, and saves a 'best_validity' checkpoint —
+    selection by sample geometry, not val/loss (the two decouple at
+    small-data scale, BENCH.md)."""
+    from chemeleon_tpu.train.trainer import Trainer
+
+    cfg = get_config("chemeleon_bert_prompt", data_dir=data_dir,
+                     log_dir=str(tmp_path / "logs_vmc"),
+                     validity_check_every_n_epochs=1,
+                     validity_check_samples=4, validity_check_natoms=4,
+                     **TINY)
+    tr = Trainer(cfg, text_backend="hash")
+    out = tr.fit(max_epochs=2)
+    assert all("val/validity" in h for h in out["history"])
+    assert 0.0 <= out["history"][0]["val/validity"] <= 1.0
+    assert (tr.ckpt_dir / "best_validity" / "meta.json").exists()
