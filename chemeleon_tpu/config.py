@@ -127,6 +127,10 @@ class ChemeleonConfig:
     # the "best_validity" checkpoint. Motivated by a measured decoupling:
     # at small-data scale the best-val/loss checkpoint is NOT the
     # best-geometry one (BENCH.md "Real-data learning check"). 0 = off.
+    # CAVEAT (measured, BENCH.md): the probe must be large and cover the
+    # deployment size mix — 16 samples at a single small natoms selected a
+    # WORSE checkpoint than val/loss; size validity_check_samples like an
+    # evaluation, not a smoke test.
     validity_check_every_n_epochs: int = 0
     validity_check_samples: int = 16
     validity_check_natoms: int = 16
