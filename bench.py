@@ -19,9 +19,10 @@ numbers from a random-init model say nothing about the "1000 *valid*
 structures" target, so validity is measured on a model that actually
 learned mp-40 structure.
 
-Env knobs: BENCH_MODE=mix|single (default mix), BENCH_VALID=0 to skip the
-validity pass, and for single mode BENCH_BATCH / BENCH_NATOMS /
-BENCH_TIMESTEPS / BENCH_DTYPE / BENCH_EDGE.
+Env knobs: BENCH_MODE=mix|single|tune (default mix), BENCH_VALID=0 to skip
+the validity pass, and for single mode BENCH_BATCH / BENCH_NATOMS /
+BENCH_TIMESTEPS / BENCH_DTYPE / BENCH_EDGE. tune mode re-derives the
+per-bucket batch table on the current hardware (see run_tune).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
@@ -242,10 +243,67 @@ def run_single():
     }
 
 
+def run_tune():
+    """BENCH_MODE=tune: re-derive BUCKET_BATCH empirically on the current
+    hardware. For each bucket, times the incumbent batch size and its
+    ladder neighbors (BENCH_TUNE_CANDIDATES overrides, comma-separated)
+    and reports the per-bucket winner plus the projected mix throughput.
+    The printed table is the source of truth to paste into BUCKET_BATCH
+    when porting to a new chip generation."""
+    import jax
+    from chemeleon_tpu.config import get_config
+    from chemeleon_tpu.models.chemeleon import Chemeleon
+
+    ladder = [16, 24, 32, 48, 64, 96, 128]
+    env = os.environ.get("BENCH_TUNE_CANDIDATES")
+    buckets = sorted(MP40_BUCKET_MIX)
+    cfg = get_config(None, timesteps=int(os.environ.get("BENCH_TIMESTEPS",
+                                                        "1000")),
+                     compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
+                     pad_buckets=tuple(buckets))
+    model = Chemeleon(cfg, text_backend="hash")
+    model.init_params(jax.random.PRNGKey(0))
+
+    best = {}
+    detail = {}
+    for n in buckets:
+        incumbent = BUCKET_BATCH[n]
+        if env:
+            cands = [int(x) for x in env.split(",")]
+        else:
+            i = ladder.index(incumbent) if incumbent in ladder else 0
+            cands = sorted({incumbent, *ladder[max(0, i - 1): i + 2]})
+        rows = {}
+        for B in cands:
+            sps, _ = _time_bucket(model, n, B, key_seed=1000 * n + B)
+            rows[B] = round(sps, 3)
+        bb = max(rows, key=rows.get)
+        best[n] = bb
+        detail[str(n)] = {"tried": rows, "best_batch": bb,
+                          "incumbent": incumbent}
+    total = sum(MP40_BUCKET_MIX[n] / detail[str(n)]["tried"][best[n]]
+                for n in buckets)
+    agg = sum(MP40_BUCKET_MIX.values()) / total
+    return {
+        "metric": "mp40_mix_structures_per_sec_per_chip_tuned",
+        "value": round(agg, 3),
+        "unit": "structures/s/chip",
+        "vs_baseline": round(agg / BASELINE_STRUCTURES_PER_SEC_PER_CHIP, 3),
+        "detail": {"mode": "tune", "buckets": detail,
+                   "bucket_batch_table": best,
+                   "backend": jax.default_backend()},
+    }
+
+
 def main():
     _enable_compilation_cache()
     mode = os.environ.get("BENCH_MODE", "mix")
-    result = run_mix() if mode == "mix" else run_single()
+    if mode == "mix":
+        result = run_mix()
+    elif mode == "tune":
+        result = run_tune()
+    else:
+        result = run_single()
     print(json.dumps(result))
 
 
