@@ -11,6 +11,7 @@ Run: ``python app/dash_app.py`` (requires dash, not bundled in the TPU image).
 
 from __future__ import annotations
 
+import json
 import queue
 import threading
 
@@ -53,8 +54,13 @@ def _sample_worker(text, n_atoms, n_samples):
                                      stream_chunk=chunk):
             t -= chunk
             _results.put(crystals_to_payload(crystals, step=t))
-        _results.put(None)
+    except Exception as e:  # surface the failure in the UI stream
+        _results.put(json.dumps({"error": str(e)}))
     finally:
+        # the end-of-stream sentinel must ALWAYS arrive — without it the
+        # poll callback never shows [done] and the next run's payloads
+        # would interleave with this stalled one's
+        _results.put(None)
         _job_active.clear()
 
 

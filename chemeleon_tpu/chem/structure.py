@@ -99,10 +99,10 @@ class Crystal:
         frac_red = (self.cart_coords @ np.linalg.inv(red)) % 1.0
         return red, frac_red
 
-    def distance_matrix(self) -> np.ndarray:
+    def distance_matrix(self, _frame=None) -> np.ndarray:
         """Min-image pairwise distances [n, n]: 3x3x3 image search on the
         Niggli-reduced basis (exact there; see _reduced_frame)."""
-        lat, frac = self._reduced_frame()
+        lat, frac = _frame if _frame is not None else self._reduced_frame()
         try:
             from chemeleon_tpu.native import available, distance_matrix
             if available():
@@ -122,14 +122,14 @@ class Crystal:
         n = len(self)
         if n < 1:
             return float("inf")
-        lat, frac = self._reduced_frame()
+        lat, frac = frame = self._reduced_frame()
         try:
             from chemeleon_tpu.native import available, min_pair_distance
             if available():
                 return min_pair_distance(lat, frac)
         except ImportError:
             pass
-        d = self.distance_matrix()
+        d = self.distance_matrix(_frame=frame)
         np.fill_diagonal(d, np.inf)  # same atom, center image
         # self-image distances (atom to its own periodic copy); on the
         # reduced basis the shortest lattice vector is among these combos

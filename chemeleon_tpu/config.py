@@ -135,11 +135,11 @@ class ChemeleonConfig:
     validity_check_samples: int = 16
     validity_check_natoms: int = 16
     # Cadence of the rolling "last" checkpoint (1 = every epoch, the
-    # reference ModelCheckpoint(save_last=True) behavior). The save is a
-    # blocking device->host pull of params+opt state (~4 s for a 10M-param
-    # model through the TPU tunnel — 40%+ of wall time at 1-s epochs);
-    # raise for small fast runs. "best" is always saved, and a final
-    # "last" is written when fit ends.
+    # reference ModelCheckpoint(save_last=True) behavior; 0 = only at the
+    # final epoch). The save is a blocking device->host pull of params+opt
+    # state (~4 s for a 10M-param model through the TPU tunnel — 40%+ of
+    # wall time at 1-s epochs); raise for small fast runs. "best" is
+    # always saved, and a final "last" is written when fit ends.
     checkpoint_every_n_epochs: int = 1
     # Trajectory snapshot stride inside the compiled sampler (1 = every step).
     trajectory_stride: int = 1

@@ -179,7 +179,10 @@ def radius_graph_pbc(frac_coords: jnp.ndarray, lattices: jnp.ndarray,
     (2r+1)^3-image set, then the edge set is SYMMETRIZED — every selected
     i->j edge gets its mirrored j->i counterpart, the invariant the
     reference enforces via reorder_symmetric_edges (cspnet.py:246-317) —
-    so the output carries 2K slots per atom.
+    so the output carries 2K slots per atom. Hub atoms selected by more
+    than K neighbors overflow their 2K slots; overflowing edges are
+    dropped in BOTH directions (longest first), so the symmetry invariant
+    holds unconditionally.
 
     ``image_range`` must satisfy r >= ceil(cutoff / min plane spacing) to
     see every in-range image; r=1 matches cells whose axes exceed the
@@ -228,6 +231,16 @@ def radius_graph_pbc(frac_coords: jnp.ndarray, lattices: jnp.ndarray,
     nbr_j = idx2 // C
     nbr_img = idx2 % C
     nbr_mask = -neg_top2 < big / 2
+    # A hub atom selected by more than K neighbors overflows its 2K slots
+    # and the top-k above drops its farthest mirrors, which would leave
+    # one-directional edges. Re-symmetrize by KEPT edges: an edge survives
+    # only if both directions fit (both dropped otherwise), preserving the
+    # invariant exactly at the cost of a few longest hub edges.
+    kept = jnp.zeros((B, N, N * C), bool).at[bi, ni, idx2].set(nbr_mask)
+    kept = kept.reshape(B, N, N, C)
+    kept = kept & kept.transpose(0, 2, 1, 3)[..., ::-1]
+    nbr_mask = nbr_mask & jnp.take_along_axis(
+        kept.reshape(B, N, N * C), idx2, axis=2)
 
     xi = frac_coords[:, :, None, :]                             # [B, N, 1, 3]
     xj = jnp.take_along_axis(

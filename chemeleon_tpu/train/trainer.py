@@ -59,7 +59,8 @@ class Trainer:
 
     # -- checkpointing (orbax; reference ModelCheckpoint run.py:47-53) -------
     def save_checkpoint(self, tag: str, params, opt_state, epoch: int,
-                        global_step: int, val_loss: float) -> None:
+                        global_step: int, val_loss: float,
+                        extra_meta: Optional[Dict[str, Any]] = None) -> None:
         """Save params AND optimizer state (exact-resume parity with
         Lightning's full training-state checkpoints, run.py:47-53)."""
         path = (self.ckpt_dir / tag).absolute()
@@ -78,6 +79,8 @@ class Trainer:
                 # reduce_on_plateau run would restart at base lr)
                 "lr_sched": self.lr_sched.state_dict(),
                 "early": self.early.state_dict()}
+        if extra_meta:
+            meta.update(extra_meta)
         with open(path / "meta.json", "w") as f:
             json.dump(meta, f, default=str)
 
@@ -199,7 +202,13 @@ class Trainer:
             with open(best_meta) as f:
                 best_val = float(json.load(f)["val_loss"])
         history = []
+        # resume must not let a worse post-resume probe clobber the
+        # best_validity checkpoint (same rule as best_val above)
         best_validity = -1.0
+        bv_meta = self.ckpt_dir / "best_validity" / "meta.json"
+        if (resume_from or cfg.resume_from) and bv_meta.exists():
+            with open(bv_meta) as f:
+                best_validity = float(json.load(f).get("validity", -1.0))
         epoch = start_epoch - 1  # resume from a completed run: loop may not run
         try:
             for epoch in range(start_epoch, max_epochs):
@@ -242,7 +251,8 @@ class Trainer:
                         best_validity = frac
                         self.save_checkpoint("best_validity", params,
                                              opt_state, epoch, global_step,
-                                             val_loss)
+                                             val_loss,
+                                             extra_meta={"validity": frac})
                 val_metrics["epoch"] = epoch
                 val_metrics["epoch_time"] = time.time() - t0
                 self.logger.log(val_metrics, global_step)
@@ -250,7 +260,8 @@ class Trainer:
 
                 stop = self.early.update(val_loss)
                 last_epoch = epoch == max_epochs - 1 or stop
-                if last_epoch or epoch % cfg.checkpoint_every_n_epochs == 0:
+                k_ckpt = cfg.checkpoint_every_n_epochs
+                if last_epoch or (k_ckpt > 0 and epoch % k_ckpt == 0):
                     self.save_checkpoint("last", params, opt_state, epoch,
                                          global_step, val_loss)
                 if val_loss < best_val:

@@ -27,8 +27,16 @@ class MetricLogger:
         if not offline:
             try:
                 import wandb
+                # bounded init: on a wandb-installed host with no network
+                # the default init can block through long retries at
+                # constructor time; fail fast to the JSONL sink instead
+                try:
+                    settings = wandb.Settings(init_timeout=30)
+                except TypeError:  # very old wandb
+                    settings = None
                 self._wandb = wandb.init(project=project_name, name=exp_name,
-                                         config=config or {})
+                                         config=config or {},
+                                         settings=settings)
             except Exception:
                 self._wandb = None
         if config is not None:

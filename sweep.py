@@ -67,9 +67,15 @@ def main(argv=None) -> None:
                 space[k] = ("log", *v["_logrange"])
             else:
                 space[k] = v
+    # a fixed override pins that dimension: drop it from the search space
+    # (e.g. `hidden_dim=512` with the default space would otherwise collide)
+    space = {k: v for k, v in space.items() if k not in fixed}
+    if not space:
+        raise SystemExit("every sweep dimension is pinned by a fixed "
+                         "override — nothing to search")
 
     if args.wandb:
-        return _wandb_sweep(args)
+        return _wandb_sweep(args, space, fixed)
 
     opt = TPEOptimizer(space, seed=args.seed,
                        n_startup=(args.count if args.method == "random"
@@ -81,8 +87,11 @@ def main(argv=None) -> None:
     FAIL_PENALTY = 1e9
     for trial in range(args.count):
         overrides = opt.suggest()
-        cfg = get_config(args.named_config, **fixed,
-                         exp_name=f"sweep_{trial}", **overrides)
+        # dict-merge, later keys win: suggestions override nothing fixed
+        # (disjoint by construction above) and the exp name is always ours
+        cfg = get_config(args.named_config,
+                         **{**fixed, **overrides,
+                            "exp_name": f"sweep_{trial}"})
         try:
             tr = Trainer(cfg)
             out = tr.fit(max_epochs=args.max_epochs)
@@ -103,10 +112,11 @@ def main(argv=None) -> None:
     print("best:", json.dumps(best, indent=2))
 
 
-def _wandb_sweep(args) -> None:
-    """The reference behavior verbatim (reference sweep.py:18-33): delegate
-    Bayesian optimization to the wandb sweep backend. Requires wandb +
-    network access; the in-repo TPE path above is the offline default."""
+def _wandb_sweep(args, space, fixed) -> None:
+    """The reference behavior (reference sweep.py:18-33): delegate Bayesian
+    optimization to the wandb sweep backend, honoring the same --space-json
+    and fixed key=value overrides as the TPE path. Requires wandb + network
+    access; the in-repo TPE path above is the offline default."""
     try:
         import wandb
     except ImportError as e:
@@ -117,26 +127,28 @@ def _wandb_sweep(args) -> None:
     from chemeleon_tpu.config import get_config
     from chemeleon_tpu.train.trainer import Trainer
 
+    def to_wandb(v):
+        if isinstance(v, list):
+            return {"values": v}
+        if isinstance(v, tuple) and v and v[0] == "log":
+            return {"distribution": "log_uniform_values",
+                    "min": v[1], "max": v[2]}
+        if isinstance(v, tuple) and len(v) == 2:
+            return {"min": v[0], "max": v[1]}
+        raise ValueError(f"cannot express sweep dimension {v!r} for wandb")
+
     sweep_config = {  # reference sweep.py:20-31
-        "method": "bayes",
+        "method": "bayes" if args.method == "bayes" else "random",
         "metric": {"name": "val/loss", "goal": "minimize"},
-        "parameters": {
-            "batch_size": {"values": SWEEP_SPACE["batch_size"]},
-            "hidden_dim": {"values": SWEEP_SPACE["hidden_dim"]},
-            "num_layers": {"values": SWEEP_SPACE["num_layers"]},
-            "lr": {"distribution": "log_uniform_values",
-                   "min": SWEEP_SPACE["lr"][1], "max": SWEEP_SPACE["lr"][2]},
-            "weight_decay": {"min": SWEEP_SPACE["weight_decay"][0],
-                             "max": SWEEP_SPACE["weight_decay"][1]},
-            "optimizer": {"values": SWEEP_SPACE["optimizer"]},
-        },
+        "parameters": {k: to_wandb(v) for k, v in space.items()},
     }
     sweep_id = wandb.sweep(sweep_config, project="chemeleon-tpu")
 
     def run_trial():
         with wandb.init() as run:
-            cfg = get_config(args.named_config, offline=False,
-                             **dict(run.config))
+            cfg = get_config(args.named_config,
+                             **{**fixed, **dict(run.config),
+                                "offline": False})
             out = Trainer(cfg).fit(max_epochs=args.max_epochs)
             run.log({"val/loss": out["best_val_loss"]})
 

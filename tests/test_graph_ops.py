@@ -138,3 +138,33 @@ def test_dataset_utils_roundtrip():
         np.testing.assert_allclose(a.frac_coords % 1.0, b.frac_coords,
                                    atol=1e-6)
     assert convert_reduced_composition("Li2O3Mn2") == "Li2 Mn2 O3"
+
+
+def test_radius_graph_pbc_hub_overflow_stays_symmetric():
+    """A hub atom selected by more than K neighbors overflows its 2K slots;
+    overflowing edges must be dropped in BOTH directions, never leaving a
+    one-directional edge (regression: the second top-k silently truncated
+    only the hub's side)."""
+    rng = np.random.default_rng(1)
+    n = 14
+    # 13 atoms clustered around a center atom in a roomy cell
+    frac = np.full((n, 3), 0.5)
+    frac[1:] += rng.uniform(-0.08, 0.08, size=(n - 1, 3))
+    lat = jnp.eye(3)[None] * 12.0
+    mask = jnp.ones((1, n), bool)
+    K = 3
+    nbr_j, nbr_img, nbr_mask, _ = radius_graph_pbc(
+        jnp.asarray(frac[None], jnp.float32), lat, mask,
+        cutoff=4.0, max_neighbors=K)
+    C = 27
+    edges = set()
+    valid = np.asarray(nbr_mask)
+    js, imgs = np.asarray(nbr_j), np.asarray(nbr_img)
+    for i in range(n):
+        for k in range(valid.shape[-1]):
+            if valid[0, i, k]:
+                edges.add((i, int(js[0, i, k]), int(imgs[0, i, k])))
+    assert edges, "no edges found"
+    missing = [(i, j, c) for (i, j, c) in edges
+               if (j, i, C - 1 - c) not in edges]
+    assert not missing, missing
