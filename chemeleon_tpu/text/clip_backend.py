@@ -66,6 +66,16 @@ class ClipCheckpointBackend:
         bert_sd = {k[len("text_encoder."):]: v for k, v in sd.items()
                    if k.startswith("text_encoder.")}
         missing, unexpected = self.bert.load_state_dict(bert_sd, strict=False)
+        # strict=False tolerates transformers-version extras (e.g. the
+        # position_ids buffer), but genuinely MISSING weights would leave
+        # tower layers at random init and silently condition sampling on
+        # noise — fail fast instead
+        real_missing = [k for k in missing if not k.endswith("position_ids")]
+        if real_missing:
+            raise ValueError(
+                f"CLIP checkpoint is missing {len(real_missing)} BERT "
+                f"weights (first: {sorted(real_missing)[:5]}); the tower "
+                "would be partially random-initialized")
         self.bert.eval()
 
         # text projection head (crystal_clip.py:62-67)

@@ -196,8 +196,13 @@ class TextEncoder:
                  text_dim: int = 512, trainable_text_encoder: bool = False,
                  pretrained_clip_apply: Optional[Callable] = None,
                  backend: str = "auto"):
-        if (not text_encoder_name.startswith("chemeleon/")
-                and text_encoder_name not in MODEL_NAMES and backend != "hash"):
+        # the registry check only applies when the name must be RESOLVED
+        # into a backend; "hash" ignores the name and a pre-built backend
+        # instance (make_backend line ~146) carries its own weights, so the
+        # name is pure metadata in both cases
+        if (isinstance(backend, str) and backend != "hash"
+                and not text_encoder_name.startswith("chemeleon/")
+                and text_encoder_name not in MODEL_NAMES):
             raise ValueError(
                 f"Invalid model name {text_encoder_name!r}. "
                 f"Must be one of {MODEL_NAMES}")

@@ -2,12 +2,16 @@
 
 ``load_pretrained(kind)`` downloads the reference Lightning checkpoints from
 figshare when missing (reference URLs, constants.py:9-14), converts them to
-flax params (utils/convert.py), and returns a ready-to-sample Chemeleon. The
-converted tree is cached as .npz so conversion (and torch) is needed once.
+flax params (utils/convert.py), and returns a ready-to-sample Chemeleon.
+The converted diffusion tree is cached next to the .ckpt as
+``<name>.converted.npz`` so that conversion (and torch) runs once; the
+CLIP text tower is rebuilt from its own .ckpt by ClipCheckpointBackend
+and still needs torch at load time.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from pathlib import Path
 from typing import Optional
@@ -39,6 +43,57 @@ def _ensure(path: Path, url_key: str) -> None:
         download_file(url, path)
 
 
+# -- conversion cache (torch-free repeat loads) ------------------------------
+
+def _flatten(tree, prefix=""):
+    for k, v in sorted(tree.items()):
+        kk = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            yield from _flatten(v, kk)
+        else:
+            yield kk, np.asarray(v)
+
+
+def _unflatten(items):
+    out: dict = {}
+    for k, v in items:
+        parts = k.split("/")
+        cur = out
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = v
+    return out
+
+
+def _cache_path(path: Path) -> Path:
+    return path.with_suffix(path.suffix + ".converted.npz")
+
+
+def _save_converted(path: Path, cfg, params, buffers) -> None:
+    arrays = {f"p:{k}": v for k, v in _flatten(params)}
+    arrays.update({f"b:{k}": np.asarray(v) for k, v in buffers.items()})
+    arrays["__config__"] = np.frombuffer(
+        json.dumps(cfg.to_dict()).encode(), dtype=np.uint8)
+    try:
+        np.savez(_cache_path(path), **arrays)
+    except OSError:  # read-only checkpoint dir: skip caching
+        pass
+
+
+def _load_converted(path: Path):
+    from chemeleon_tpu.config import ChemeleonConfig
+    cache = _cache_path(path)
+    if not cache.exists():
+        return None
+    with np.load(cache) as z:
+        cfg = ChemeleonConfig.from_dict(
+            json.loads(bytes(z["__config__"]).decode()))
+        params = _unflatten(
+            (k[2:], z[k]) for k in z.files if k.startswith("p:"))
+        buffers = {k[2:]: z[k] for k in z.files if k.startswith("b:")}
+    return cfg, params, buffers
+
+
 def load_pretrained(kind: str, text_backend: str = "auto",
                     path_ckpt: Optional[str] = None,
                     path_ckpt_clip: Optional[str] = None):
@@ -54,19 +109,33 @@ def load_pretrained(kind: str, text_backend: str = "auto",
     _ensure(path, url_key)
     _ensure(clip_path, clip_url_key)
 
-    cfg, params, buffers, clip_extras = convert_chemeleon_checkpoint(
-        path, clip_path)
-    model = Chemeleon(cfg, text_backend=text_backend)
+    cached = _load_converted(path)
+    if cached is not None:
+        cfg, params, buffers = cached
+    else:
+        cfg, params, buffers, _ = convert_chemeleon_checkpoint(
+            path, clip_path)
+        _save_converted(path, cfg, params, buffers)
 
-    # bit-parity: adopt the checkpoint's Monte-Carlo sigma_norm table
+    # The trained CLIP tower from clip_path is attached as the text
+    # backend below, so construct with the cheap hash placeholder — eagerly
+    # building an HF/artifact backend here would raise in offline
+    # environments before the attach (defeating text_backend="hf"/"auto").
+    model = Chemeleon(cfg, text_backend="hash" if clip_path else text_backend)
+
+    # bit-parity: adopt the checkpoint's Monte-Carlo sigma_norm table (the
+    # one non-recomputable buffer; the sigmas ladder is deterministic, so
+    # adopt it only when the checkpoint carries it)
     if "sigma_scheduler.sigmas_norm" in buffers:
         import jax.numpy as jnp
         import dataclasses
         sig = model.sched.sigma
-        model.sched = model.sched._replace(sigma=dataclasses.replace(
-            sig,
-            sigmas=jnp.asarray(buffers["sigma_scheduler.sigmas"]),
-            sigmas_norm=jnp.asarray(buffers["sigma_scheduler.sigmas_norm"])))
+        repl = {"sigmas_norm":
+                jnp.asarray(buffers["sigma_scheduler.sigmas_norm"])}
+        if "sigma_scheduler.sigmas" in buffers:
+            repl["sigmas"] = jnp.asarray(buffers["sigma_scheduler.sigmas"])
+        model.sched = model.sched._replace(
+            sigma=dataclasses.replace(sig, **repl))
 
     # convert numpy -> jax and validate the tree against a fresh init
     ref = model.init_params(jax.random.PRNGKey(0))
@@ -77,10 +146,21 @@ def load_pretrained(kind: str, text_backend: str = "auto",
     # attach the trained CLIP text tower + projection as the text backend
     # (reference text_encoder.py:48-51, :180-182): the backend output is the
     # clip-projected embedding that feeds the diffusion model's text_emb MLP
-    if clip_extras is not None and model.text_encoder is not None:
+    if clip_path is not None and model.text_encoder is not None:
         from chemeleon_tpu.text.clip_backend import ClipCheckpointBackend
-        model.text_encoder.backend = ClipCheckpointBackend(
-            clip_path, max_text_len=cfg.max_text_len)
+        backend = ClipCheckpointBackend(clip_path,
+                                        max_text_len=cfg.max_text_len)
+        # the backend's clip_dim feeds the converted text_emb MLP /
+        # null_text_embeds — a mismatch would otherwise surface as an
+        # opaque broadcast error deep inside the first sample() call
+        probe = np.asarray(backend(["probe"]))
+        if probe.shape[-1] != cfg.text_embed_dim:
+            raise ValueError(
+                f"CLIP checkpoint clip_dim={probe.shape[-1]} does not match "
+                f"the diffusion checkpoint's text_embed_dim="
+                f"{cfg.text_embed_dim} — mismatched checkpoint pair "
+                f"({path} vs {clip_path})")
+        model.text_encoder.backend = backend
         model.text_encoder.clip_apply = None
     return model
 

@@ -111,28 +111,30 @@ def convert_text_conditioner_state_dict(sd: Dict,
     }
 
 
-def convert_clip_projections(sd: Dict) -> Dict[str, Any]:
-    """CrystalClip projection heads (crystal_clip.py:62-73). The graph head
-    is optional (absent from text-only exports)."""
-    out = {
-        "text_proj": {"params": {"text_proj": _projection_mlp(sd, "text_proj")}},
-    }
-    if "graph_proj.0.weight" in sd:
-        out["graph_proj"] = _projection_mlp(sd, "graph_proj")
-    return out
-
-
 def load_lightning_state_dict(path: str | Path) -> Tuple[Dict, Dict]:
-    """Load a Lightning .ckpt (torch zip): (state_dict, hyper_parameters)."""
+    """Load a Lightning .ckpt (torch zip): (state_dict, hyper_parameters).
+
+    Tries the safe ``weights_only=True`` deserializer first — these files
+    are downloaded from figshare at runtime, and full pickle is arbitrary
+    code execution; only the hyper_parameters blob (plain dicts in
+    practice, but pickled by Lightning) can require the unsafe path."""
     import torch
-    blob = torch.load(str(path), map_location="cpu", weights_only=False)
+    try:
+        blob = torch.load(str(path), map_location="cpu", weights_only=True)
+    except Exception:
+        blob = torch.load(str(path), map_location="cpu", weights_only=False)
     return blob["state_dict"], dict(blob.get("hyper_parameters", {}))
 
 
 def convert_chemeleon_checkpoint(path: str | Path,
                                  clip_path: Optional[str | Path] = None):
-    """Full conversion: reference Chemeleon .ckpt (+ optional CLIP .ckpt)
-    -> (ChemeleonConfig, params dict, buffers dict)."""
+    """Full conversion of a reference Chemeleon .ckpt ->
+    ``(ChemeleonConfig, params dict, buffers dict, clip_path | None)``.
+
+    The 4th element just passes ``clip_path`` through when given — the
+    CLIP tower itself is loaded once by ClipCheckpointBackend at attach
+    time (it used to be torch.load'ed here a second time for values no
+    caller consumed)."""
     from chemeleon_tpu.config import ChemeleonConfig
 
     sd, hparams = load_lightning_state_dict(path)
@@ -151,16 +153,7 @@ def convert_chemeleon_checkpoint(path: str | Path,
         if name in sd:
             buffers[name] = _t(sd[name])
 
-    clip_extras = None
-    if clip_path is not None:
-        clip_sd, clip_hparams = load_lightning_state_dict(clip_path)
-        clip_extras = {
-            "projections": convert_clip_projections(clip_sd),
-            "hparams": clip_hparams,
-            "state_dict_keys": sorted(clip_sd.keys()),
-            "state_dict": clip_sd,
-        }
-    return cfg, params, buffers, clip_extras
+    return cfg, params, buffers, clip_path
 
 
 # ---------------------------------------------------------------------------

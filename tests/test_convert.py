@@ -158,3 +158,21 @@ def test_load_pretrained_end_to_end(tmp_path):
                              path_ckpt_clip=str(clip_path))
     crystals = model2.sample("TiO2 crystal", 4, 2, key=jax.random.PRNGKey(1))
     assert len(crystals) == 2 and len(crystals[0]) == 4
+
+    # first load wrote the torch-free conversion cache; a second load hits
+    # it and produces identical params
+    cache = dft.parent / (dft.name + ".converted.npz")
+    assert cache.exists()
+    model3 = load_pretrained("general_text", path_ckpt=str(dft),
+                             path_ckpt_clip=str(clip_path))
+    for a, b in zip(jax.tree.leaves(model2.params),
+                    jax.tree.leaves(model3.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # mismatched checkpoint pair fails loudly with a clear message
+    (tmp_path / "bad").mkdir()
+    bad_clip, _, _ = _fake_clip_ckpt(tmp_path / "bad", hidden=128,
+                                     clip_dim=64)
+    with pytest.raises(ValueError, match="clip_dim"):
+        load_pretrained("general_text", path_ckpt=str(dft),
+                        path_ckpt_clip=str(bad_clip))
