@@ -10,7 +10,7 @@ from chemeleon_tpu.config import ChemeleonConfig, get_config, NAMED_CONFIGS
 from chemeleon_tpu.models.chemeleon import Chemeleon
 from chemeleon_tpu.chem.structure import Crystal
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Chemeleon",

@@ -251,6 +251,25 @@ NAMED_CONFIGS: Dict[str, Dict[str, Any]] = {
         exp_name="chemeleon_llama_prompt", group_name="prompt",
         text_targets=("prompt",),
         text_encoder="meta-llama/Meta-Llama-3-8B-Instruct", text_embed_dim=4096),
+    # ---- TPU-native additions: offline composition conditioning ----
+    # (text/composition.py: element-fraction featurizer + trainable MLP
+    # tower — semantically meaningful conditioning with zero pretrained
+    # weights; the reference needs MatSciBERT / Crystal-CLIP for this)
+    "chemeleon_composition": _preset(
+        exp_name="chemeleon_composition", group_name="composition",
+        text_targets=("composition",), text_encoder="composition",
+        text_embed_dim=256, trainable_text_encoder=True),
+    "chemeleon_composition_crystal_system": _preset(
+        exp_name="chemeleon_composition_crystal_system",
+        group_name="composition_crystal_system",
+        text_targets=("composition", "crystal_system"),
+        text_encoder="composition", text_embed_dim=256,
+        trainable_text_encoder=True),
+    "clip_composition_featurized": _preset(
+        exp_name="clip_composition_featurized", group_name="crystal_clip",
+        text_targets=("composition",), text_encoder="composition",
+        text_embed_dim=256, trainable_text_encoder=True,
+        text_encoder_lr=1e-3),  # from-scratch MLP, not a BERT finetune
 }
 
 

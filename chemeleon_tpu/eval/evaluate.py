@@ -105,8 +105,11 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
 
     it = [(i, rows[i]) for i in sorted(parsed)]
     if progress:
-        from tqdm import tqdm
-        it = tqdm(it)
+        try:
+            from tqdm import tqdm
+            it = tqdm(it)
+        except ImportError:  # optional nicety; keep default args runnable
+            pass
     for i, row in it:
         try:
             test_st, text = parsed[i]

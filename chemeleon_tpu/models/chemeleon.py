@@ -289,18 +289,39 @@ def run_sampler_scan(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
                      text_embeds: Optional[jnp.ndarray],
                      null_text_embeds: Optional[jnp.ndarray], key: jax.Array,
                      cond_scale: float, step_lr: float,
-                     record_traj: bool):
-    """Scan the reverse process over ``ts`` (descending timesteps)."""
+                     record_traj: bool, stride: int = 1):
+    """Scan the reverse process over ``ts`` (descending timesteps).
 
-    def body(carry: SamplerState, t):
-        nxt = sampler_step(decoder_params, decoder, sched, cfg, carry, t,
-                           mask, text_embeds, null_text_embeds, key,
-                           cond_scale, step_lr)
-        ys = ((nxt.atom_types, nxt.frac_coords, nxt.lattices)
-              if record_traj else None)
-        return nxt, ys
+    ``stride`` (cfg.trajectory_stride) thins the recorded trajectory: the
+    scan runs over ``ts`` reshaped [T/stride, stride] with an inner scan per
+    chunk and emits only the last-of-chunk state, so the stacked ys (the
+    host transfer in trajectory mode) shrink stride-fold. The reference
+    snapshots at the consumer's cadence instead (streamlit_app.py:19-21)."""
 
-    return jax.lax.scan(body, state, ts)
+    def step(carry: SamplerState, t):
+        return sampler_step(decoder_params, decoder, sched, cfg, carry, t,
+                            mask, text_embeds, null_text_embeds, key,
+                            cond_scale, step_lr)
+
+    if not record_traj or stride <= 1:
+        def body(carry, t):
+            nxt = step(carry, t)
+            ys = ((nxt.atom_types, nxt.frac_coords, nxt.lattices)
+                  if record_traj else None)
+            return nxt, ys
+        return jax.lax.scan(body, state, ts)
+
+    n = ts.shape[0]
+    if n % stride != 0:
+        raise ValueError(
+            f"trajectory_stride={stride} must divide the number of sampler "
+            f"steps ({n})")
+
+    def chunk_body(carry, t_chunk):
+        nxt, _ = jax.lax.scan(lambda c, t: (step(c, t), None), carry, t_chunk)
+        return nxt, (nxt.atom_types, nxt.frac_coords, nxt.lattices)
+
+    return jax.lax.scan(chunk_body, state, ts.reshape(n // stride, stride))
 
 
 # ---------------------------------------------------------------------------
@@ -380,7 +401,8 @@ class Chemeleon:
     # -- sampling ------------------------------------------------------------
     def _get_compiled_sampler(self, B: int, n_max: int, record_traj: bool,
                               chunk: Optional[int]):
-        sig = (B, n_max, record_traj, chunk, self.cfg.text_guide)
+        stride = self.cfg.trajectory_stride if record_traj else 1
+        sig = (B, n_max, record_traj, chunk, self.cfg.text_guide, stride)
         if sig in self._sampler_cache:
             return self._sampler_cache[sig]
 
@@ -398,7 +420,8 @@ class Chemeleon:
                 params, decoder, sched, cfg, state, ts, mask,
                 text_embeds if cfg.text_guide else None,
                 null_text_embeds if cfg.text_guide else None,
-                jax.random.fold_in(key, 1), cond_scale, step_lr, record_traj)
+                jax.random.fold_in(key, 1), cond_scale, step_lr, record_traj,
+                stride=stride)
             return final, traj
 
         self._sampler_cache[sig] = run
@@ -493,7 +516,7 @@ class Chemeleon:
             tt, tx, tl = traj
             container = TrajectoryContainer.from_scan_output(
                 natoms_np, np.asarray(tt), np.asarray(tx), np.asarray(tl),
-                total_steps=cfg.timesteps)
+                total_steps=cfg.timesteps, stride=cfg.trajectory_stride)
             # container[T] is the initial pure-noise state (the documented
             # index convention; reference chemeleon.py:361-368 records it).
             # init_sampler_state is deterministic in `key`, so re-deriving

@@ -108,7 +108,12 @@ class CrystalClip:
         self.text_head = TextProjHead(cfg)
         self.backend_kind = "hash"
         self.hf = None
-        if text_backend in ("hf", "auto"):
+        if cfg.text_encoder == "composition":
+            # offline trainable element-fraction tower (text/composition.py)
+            from chemeleon_tpu.text.composition import CompositionTower
+            self.hf = CompositionTower(cfg.text_embed_dim)
+            self.backend_kind = "composition"
+        elif text_backend in ("hf", "auto"):
             try:
                 self.hf = TrainableTextTower(cfg.text_encoder,
                                              cfg.text_embed_dim,
@@ -170,9 +175,10 @@ class CrystalClip:
         crystal_clip.py:82-96, 172-177) — or pre-computed [B, D] embeddings
         for the frozen hash backend."""
         if self.hf is not None:
-            input_ids, attention_mask = text_input
-            raw_text = self.hf.apply(params["text_tower"], input_ids,
-                                     attention_mask)
+            # text_input is whatever tuple the tower's tokenize produced:
+            # (input_ids, attention_mask) for BERT, (features,) for the
+            # composition tower
+            raw_text = self.hf.apply(params["text_tower"], *text_input)
         else:
             raw_text = text_input
         text = self.text_head.apply(params["text_proj"], raw_text)

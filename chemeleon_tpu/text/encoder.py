@@ -104,14 +104,21 @@ class HFTextBackend:
     def __init__(self, model_name: str, max_text_len: int):
         self.model_name = model_name
         self.max_text_len = max_text_len
-        from transformers import AutoTokenizer  # local import: optional dep path
+        from transformers import AutoConfig, AutoTokenizer
         kw = dict(local_files_only=True)
         self.tokenizer = AutoTokenizer.from_pretrained(model_name, **kw)
-        if model_name.startswith("t5"):
+        # Dispatch on the model's declared architecture (model_type /
+        # *ForCausalLM), not a name prefix — prefixes break for local
+        # paths/mirrors of the same models.
+        mcfg = AutoConfig.from_pretrained(model_name, **kw)
+        archs = tuple(getattr(mcfg, "architectures", None) or ())
+        if mcfg.model_type == "t5":
             from transformers import FlaxT5EncoderModel
             self.model = FlaxT5EncoderModel.from_pretrained(model_name, **kw)
             self.pooling = "mean"
-        elif model_name.startswith(("microsoft", "meta-llama")):
+        elif (any(a.endswith("ForCausalLM") for a in archs)
+              or mcfg.model_type in ("phi", "phi3", "llama", "gpt2")
+              or model_name.startswith(("microsoft", "meta-llama"))):
             from transformers import FlaxAutoModelForCausalLM
             self.model = FlaxAutoModelForCausalLM.from_pretrained(
                 model_name, output_hidden_states=True, **kw)
@@ -215,15 +222,23 @@ class TextEncoder:
         # projection applied to backend output (text_encoder.py:180-182).
         self.clip_apply = pretrained_clip_apply
         self.tower = None
-        if trainable_text_encoder:
+        if text_encoder_name == "composition":
+            # offline element-fraction featurizer + trainable MLP tower
+            # (text/composition.py) — inherently trainable: there are no
+            # pretrained weights, the tower learns with the diffusion loss
+            from chemeleon_tpu.text.composition import CompositionTower
+            self.tower = CompositionTower(text_embed_dim)
+            self.trainable_text_encoder = True
+        elif trainable_text_encoder:
             from chemeleon_tpu.text.tower import TrainableTextTower
             self.tower = TrainableTextTower(text_encoder_name,
                                             text_embed_dim, max_text_len)
+        if self.tower is not None:
             # host-side convenience encoder (initial tower weights) so
             # backend-only callers keep working; training/sampling use the
             # live params via text_inputs/raw_embeds_in_loss
             self.backend = lambda texts: np.asarray(
-                self.tower.encode(self.tower.model.params, list(texts)))
+                self.tower.encode(self.tower.init_params(), list(texts)))
         else:
             self.backend = make_backend(text_encoder_name, text_embed_dim,
                                         max_text_len, backend)
@@ -247,11 +262,11 @@ class TextEncoder:
 
     def raw_embeds_in_loss(self, params, text_input) -> jnp.ndarray:
         """[B, text_embed_dim] from ``text_inputs`` output; pure in params —
-        safe (and differentiable) inside jit."""
+        safe (and differentiable) inside jit. ``text_input`` is whatever
+        tuple the tower's ``tokenize`` produced ((ids, mask) for BERT,
+        (features,) for the composition tower)."""
         if self.tower is not None:
-            input_ids, attention_mask = text_input
-            return self.tower.apply(params["tower"], input_ids,
-                                    attention_mask)
+            return self.tower.apply(params["tower"], *text_input)
         return text_input
 
     def conditioner_params(self, params):

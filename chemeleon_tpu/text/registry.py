@@ -11,6 +11,9 @@ MODEL_NAMES = [
     "chemeleon/clip-mp-composition",
     "chemeleon/clip-mp-composition_crystalsystem",
     "chemeleon/clip-mp-prompt",
+    # TPU-native addition: offline element-fraction featurizer + trainable
+    # MLP tower (text/composition.py) — no pretrained weights required
+    "composition",
 ]
 
 ARTIFACT_PATHS = {

@@ -147,10 +147,12 @@ class LRScheduler:
         return self._lr
 
     def on_validation(self, val_loss: float) -> float:
-        """Metric-driven schedules (reduce_on_plateau, min mode)."""
+        """Metric-driven schedules (reduce_on_plateau, min mode). "Improved"
+        uses torch ReduceLROnPlateau's default relative threshold 1e-4
+        (best * (1 - 1e-4)), not strict <, so decay timing matches."""
         if self.mode != "reduce_on_plateau":
             return self._lr
-        if val_loss < self._best:
+        if val_loss < self._best * (1.0 - 1e-4):
             self._best = val_loss
             self._bad = 0
         else:
@@ -186,7 +188,8 @@ class PlateauScale:
         self.bad = 0
 
     def update(self, val_loss: float) -> float:
-        if val_loss < self.best:
+        # torch ReduceLROnPlateau default relative threshold (1e-4)
+        if val_loss < self.best * (1.0 - 1e-4):
             self.best = val_loss
             self.bad = 0
         else:

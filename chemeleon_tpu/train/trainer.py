@@ -159,7 +159,9 @@ class Trainer:
         if resume_from or cfg.resume_from:
             params, meta, restored_opt = self.load_checkpoint(
                 resume_from or cfg.resume_from, params,
-                opt_state_like=self.tx.init(params))
+                # abstract template: orbax only needs shapes/dtypes, and a
+                # real tx.init here would transiently double opt-state memory
+                opt_state_like=jax.eval_shape(self.tx.init, params))
             start_epoch = meta["epoch"] + 1
             # continue the step counter: fold_in(key, global_step) RNG and
             # logger x-axis must not replay the original run's prefix
@@ -179,19 +181,22 @@ class Trainer:
                 # eagerly created on the default device) are replicated.
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                like = self.tx.init(params)
+                # target shardings WITHOUT materializing a throwaway opt
+                # state (tx.init would allocate real moment buffers): lower
+                # tx.init over the sharded params and read the compiled
+                # output shardings — XLA propagates the param shardings
+                # into the zeros_like moment buffers.
+                shardings = (jax.jit(self.tx.init).lower(params).compile()
+                             .output_shardings)
                 repl = NamedSharding(self.mesh, P())
 
-                def _place(x, l):
-                    if not isinstance(l, jax.Array):
-                        return x
-                    sh = l.sharding
+                def _place(x, sh):
                     if not (isinstance(sh, NamedSharding)
                             and sh.mesh == self.mesh):
                         sh = repl
                     return jax.device_put(x, sh)
 
-                restored_opt = jax.tree.map(_place, restored_opt, like)
+                restored_opt = jax.tree.map(_place, restored_opt, shardings)
         opt_state = restored_opt if restored_opt is not None \
             else self.tx.init(params)
 

@@ -69,11 +69,19 @@ def _cache_path(path: Path) -> Path:
     return path.with_suffix(path.suffix + ".converted.npz")
 
 
+def _source_stamp(path: Path) -> np.ndarray:
+    """Identity of the source .ckpt: (size, mtime_ns). Stored inside the
+    converted cache so a re-downloaded/replaced checkpoint invalidates it."""
+    st = path.stat()
+    return np.array([st.st_size, st.st_mtime_ns], np.int64)
+
+
 def _save_converted(path: Path, cfg, params, buffers) -> None:
     arrays = {f"p:{k}": v for k, v in _flatten(params)}
     arrays.update({f"b:{k}": np.asarray(v) for k, v in buffers.items()})
     arrays["__config__"] = np.frombuffer(
         json.dumps(cfg.to_dict()).encode(), dtype=np.uint8)
+    arrays["__source__"] = _source_stamp(path)
     try:
         np.savez(_cache_path(path), **arrays)
     except OSError:  # read-only checkpoint dir: skip caching
@@ -86,6 +94,9 @@ def _load_converted(path: Path):
     if not cache.exists():
         return None
     with np.load(cache) as z:
+        if ("__source__" not in z.files
+                or not np.array_equal(z["__source__"], _source_stamp(path))):
+            return None  # source .ckpt changed (or pre-stamp cache): reconvert
         cfg = ChemeleonConfig.from_dict(
             json.loads(bytes(z["__config__"]).decode()))
         params = _unflatten(

@@ -117,11 +117,22 @@ def load_lightning_state_dict(path: str | Path) -> Tuple[Dict, Dict]:
     Tries the safe ``weights_only=True`` deserializer first — these files
     are downloaded from figshare at runtime, and full pickle is arbitrary
     code execution; only the hyper_parameters blob (plain dicts in
-    practice, but pickled by Lightning) can require the unsafe path."""
+    practice, but pickled by Lightning) can require the unsafe path. The
+    unsafe fallback is therefore NOT automatic: it must be opted into with
+    ``CHEMTPU_UNSAFE_CKPT=1`` (otherwise a checkpoint that the safe loader
+    rejects raises, instead of being silently fully unpickled)."""
+    import os
+
     import torch
     try:
         blob = torch.load(str(path), map_location="cpu", weights_only=True)
-    except Exception:
+    except Exception as e:
+        if os.environ.get("CHEMTPU_UNSAFE_CKPT") != "1":
+            raise RuntimeError(
+                f"{path}: safe (weights_only=True) torch.load failed: {e}. "
+                "This checkpoint needs full unpickling, which executes "
+                "arbitrary code from the file. If you trust its origin, "
+                "set CHEMTPU_UNSAFE_CKPT=1 and retry.") from e
         blob = torch.load(str(path), map_location="cpu", weights_only=False)
     return blob["state_dict"], dict(blob.get("hyper_parameters", {}))
 

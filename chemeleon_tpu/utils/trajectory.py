@@ -78,11 +78,15 @@ class TrajectoryContainer:
     def from_scan_output(cls, natoms: np.ndarray, traj_types: np.ndarray,
                          traj_coords: np.ndarray, traj_lattices: np.ndarray,
                          total_steps: int, stride: int = 1) -> "TrajectoryContainer":
-        """Build from stacked lax.scan outputs ordered t = T-1 .. 0."""
+        """Build from stacked lax.scan outputs ordered t = T-1 .. 0.
+
+        With ``stride`` k, record i is the state AFTER the (i+1)-th chunk of
+        k steps, i.e. timestep total_steps - (i+1)*k (identical to the
+        per-step convention at k=1; the final record is always t=0)."""
         c = cls(total_steps)
         n_rec = traj_types.shape[0]
         for i in range(n_rec):
-            t = total_steps - 1 - i * stride
+            t = total_steps - (i + 1) * stride
             c[t] = TrajectoryStep(natoms=np.asarray(natoms),
                                   atom_types=np.asarray(traj_types[i]),
                                   frac_coords=np.asarray(traj_coords[i]),

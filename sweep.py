@@ -149,6 +149,9 @@ def _wandb_sweep(args, space, fixed) -> None:
             cfg = get_config(args.named_config,
                              **{**fixed, **dict(run.config),
                                 "offline": False})
+            # per-trial exp_name: without it every trial writes checkpoints/
+            # logs into the same logs/<exp_name> dir and overwrites the rest
+            cfg = cfg.replace(exp_name=f"{cfg.exp_name}_sweep_{run.id}")
             out = Trainer(cfg).fit(max_epochs=args.max_epochs)
             run.log({"val/loss": out["best_val_loss"]})
 

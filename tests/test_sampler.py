@@ -138,3 +138,37 @@ def test_architecture_typos_fail_loudly():
         m = Chemeleon(cfg, text_backend="hash")
         with pytest.raises(ValueError):
             m.init_params(jax.random.PRNGKey(0))
+
+
+def test_trajectory_stride(model):
+    """trajectory_stride=k records every k-th state (host transfer shrinks
+    k-fold) without perturbing the sampled final state: stride==1 and
+    stride==5 runs are bitwise-identical at t=0, and the strided container
+    holds exactly {T (initial), T-k, T-2k, ..., 0}."""
+    key = jax.random.PRNGKey(11)
+    cfg5 = get_config(None, **{**TINY, "trajectory_stride": 5})
+    m5 = Chemeleon(cfg5, text_backend="hash")
+    m5.params = model.params  # same weights, different stride
+
+    dense = model.sample_batch([4, 6], ["TiO2", "SiO2"], key=key,
+                               return_trajectory=True)
+    strided = m5.sample_batch([4, 6], ["TiO2", "SiO2"], key=key,
+                              return_trajectory=True)
+
+    T = model.cfg.timesteps
+    assert strided.timesteps() == [0, 5, 10, 15, T]
+    assert dense.timesteps() == list(range(T + 1))
+    for t in strided.timesteps():
+        a, b = dense[t], strided[t]
+        np.testing.assert_array_equal(a.atom_types, b.atom_types)
+        np.testing.assert_allclose(a.frac_coords, b.frac_coords, atol=1e-6)
+        np.testing.assert_allclose(a.lattices, b.lattices, atol=1e-6)
+
+
+def test_trajectory_stride_must_divide(model):
+    cfg = get_config(None, **{**TINY, "trajectory_stride": 3})  # 20 % 3 != 0
+    m = Chemeleon(cfg, text_backend="hash")
+    m.params = model.params
+    with pytest.raises(ValueError, match="stride"):
+        m.sample_batch([4], ["TiO2"], key=jax.random.PRNGKey(0),
+                       return_trajectory=True)
