@@ -1,18 +1,21 @@
 """Dash demo app (reference: app/dash_app.py — NOTE the upstream version is
 bit-rotted: it calls a nonexistent ``load_from_default_checkpoint`` and a
 stale ``sample(natoms, texts, stream=True)`` signature, dash_app.py:29,:357.
-This rebuild uses the working API.)
+This rebuild uses the working API and restores the intended feature set:
+a structure figure (dash_app.py:266-268, :512-525 — rendered as a base64
+PNG via the matplotlib backend so it works without plotly), a per-sample
+selector, a trajectory step slider, and CIF download (:303, :530-543).
 
-Background sampling runs in a thread feeding a Queue polled by dcc.Interval,
-like the reference (dash_app.py:107, :305-310, :416-423).
+Background sampling runs in a thread feeding a poll()-able SamplingSession
+(app/utils.py) read by dcc.Interval, like the reference's thread + Queue
+(dash_app.py:107, :305-310, :416-423).
 
-Run: ``python app/dash_app.py`` (requires dash, not bundled in the TPU image).
+Run: ``python app/dash_app.py`` (requires dash, not bundled in the TPU
+image; the session/view-model logic is dash-free and tested in-suite).
 """
 
 from __future__ import annotations
 
-import json
-import queue
 import threading
 
 try:
@@ -24,91 +27,88 @@ except ImportError as e:  # pragma: no cover
         "dash is not installed. `pip install dash` to run the demo app; the "
         "chemeleon_tpu core does not require it.") from e
 
-from chemeleon_tpu.serve.server import crystals_to_payload
+from app.utils import SamplingSession, crystal_to_png_b64
 
-_results: "queue.Queue" = queue.Queue()
 _model = None
-_lock = threading.Lock()
-# one sampling job at a time: concurrent compiled scans contend on the one
-# TPU chip (serve/server.py serializes with a device lock for the same
-# reason) and interleave their payloads in the single output queue
-_job_active = threading.Event()
+_model_lock = threading.Lock()
+_session = SamplingSession()
 
 
 def get_model():
     global _model
-    with _lock:
+    with _model_lock:
         if _model is None:
             from chemeleon_tpu.models.chemeleon import Chemeleon
             _model = Chemeleon.load_general_text_model()
     return _model
 
 
-def _sample_worker(text, n_atoms, n_samples):
-    try:
-        model = get_model()
-        total = model.cfg.timesteps
-        chunk = 100 if total % 100 == 0 else 1
-        t = total
-        for crystals in model.sample(text, n_atoms, n_samples, stream=True,
-                                     stream_chunk=chunk):
-            t -= chunk
-            _results.put(crystals_to_payload(crystals, step=t))
-    except Exception as e:  # surface the failure in the UI stream
-        _results.put(json.dumps({"error": str(e)}))
-    finally:
-        # the end-of-stream sentinel must ALWAYS arrive — without it the
-        # poll callback never shows [done] and the next run's payloads
-        # would interleave with this stalled one's
-        _results.put(None)
-        _job_active.clear()
-
-
 app = dash.Dash(__name__)
 app.layout = html.Div([
     html.H2("Chemeleon-TPU"),
-    dcc.Input(id="prompt", type="text",
-              value="A Crystal Structure of LiMnO4 with orthorhombic symmetry",
-              style={"width": "60%"}),
-    dcc.Input(id="n-atoms", type="number", value=6, min=1, max=20),
-    dcc.Input(id="n-samples", type="number", value=2, min=1, max=5),
-    html.Button("Generate", id="go"),
-    html.Pre(id="out"),
+    html.Div([
+        dcc.Input(id="prompt", type="text",
+                  value="A Crystal Structure of LiMnO4 with orthorhombic "
+                        "symmetry",
+                  style={"width": "55%"}),
+        dcc.Input(id="n-atoms", type="number", value=6, min=1, max=20),
+        dcc.Input(id="n-samples", type="number", value=2, min=1, max=5),
+        html.Button("Generate", id="go"),
+    ]),
+    html.Div(id="status"),
+    html.Div([
+        html.Label("Sample"),
+        dcc.Dropdown(id="sample-idx", options=[{"label": "1", "value": 0}],
+                     value=0, clearable=False, style={"width": "120px"}),
+        html.Label("Trajectory step"),
+        dcc.Slider(id="step-idx", min=0, max=0, step=1, value=0,
+                   tooltip={"placement": "bottom"}),
+    ]),
+    html.Img(id="structure", style={"maxWidth": "480px"}),
+    html.Div([
+        html.Button("Download CIF", id="download-btn", disabled=True),
+        dcc.Download(id="download-cif"),
+    ]),
     dcc.Interval(id="poll", interval=500),
-    dcc.Store(id="running", data=False),
 ])
 
 
-@app.callback(Output("running", "data"), Input("go", "n_clicks"),
+@app.callback(Output("sample-idx", "options"), Input("go", "n_clicks"),
               State("prompt", "value"), State("n-atoms", "value"),
               State("n-samples", "value"), prevent_initial_call=True)
 def start(n_clicks, prompt, n_atoms, n_samples):
-    with _lock:  # atomic test-and-set: double-click spawns one worker
-        if _job_active.is_set():
-            return True
-        _job_active.set()
-    threading.Thread(target=_sample_worker,
-                     args=(prompt, int(n_atoms), int(n_samples)),
-                     daemon=True).start()
-    return True
+    n_samples = int(n_samples)
+    _session.start(get_model(), prompt, int(n_atoms), n_samples)
+    return [{"label": str(i + 1), "value": i} for i in range(n_samples)]
 
 
-@app.callback(Output("out", "children"), Input("poll", "n_intervals"),
-              State("out", "children"))
-def poll(_, current):
-    lines = []
-    try:
-        while True:
-            item = _results.get_nowait()
-            if item is None:
-                lines.append("[done]")
-            else:
-                lines.append(item[:200] + "...")
-    except queue.Empty:
-        pass
-    if not lines:
-        return current
-    return (current or "") + "\n" + "\n".join(lines)
+@app.callback(Output("status", "children"), Output("structure", "src"),
+              Output("step-idx", "max"), Output("step-idx", "value"),
+              Output("download-btn", "disabled"),
+              Input("poll", "n_intervals"), Input("sample-idx", "value"),
+              Input("step-idx", "value"), State("step-idx", "max"))
+def poll(_, sample_idx, step_idx, prev_max):
+    state = _session.poll()
+    if state["error"]:
+        return f"error: {state['error']}", dash.no_update, 0, 0, True
+    n = state["n_steps"]
+    if n == 0:
+        return ("sampling..." if _session.running else "ready"), \
+            dash.no_update, 0, 0, True
+    # follow the newest step unless the user moved the slider off the end
+    follow = step_idx is None or step_idx >= (prev_max or 0)
+    idx = (n - 1) if follow else min(int(step_idx), n - 1)
+    crystal = _session.crystal(int(sample_idx or 0), idx)
+    src = crystal_to_png_b64(crystal) if crystal is not None else dash.no_update
+    status = "done" if state["done"] else f"sampling... chunk {n}"
+    return status, src, n - 1, idx, not state["done"]
+
+
+@app.callback(Output("download-cif", "data"), Input("download-btn", "n_clicks"),
+              State("sample-idx", "value"), prevent_initial_call=True)
+def download(n_clicks, sample_idx):
+    i = int(sample_idx or 0)
+    return dict(content=_session.cif(i), filename=f"chemeleon_gen_{i}.cif")
 
 
 if __name__ == "__main__":

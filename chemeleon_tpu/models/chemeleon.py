@@ -551,6 +551,19 @@ class Chemeleon:
             return result.get_trajectory()
         return result
 
+    def sample_batch_stream(self, natoms: List[int],
+                            texts: Optional[List[str]] = None,
+                            cond_scale: float = 2.0, step_lr: float = 1e-5,
+                            key: Optional[jax.Array] = None,
+                            stream_chunk: int = 100):
+        """Batched streaming: one compiled chunked scan over a MIXED batch,
+        yielding the whole batch's crystals every ``stream_chunk`` steps.
+        This is what lets a server coalesce N concurrent streams into one
+        device program instead of N serialized scans (the reference scales
+        streams with workers_per_device=4 instead, app/server.py:55-58)."""
+        return self._sample_stream(natoms, texts, cond_scale, step_lr, key,
+                                   stream_chunk)
+
     def _sample_stream(self, natoms, texts, cond_scale, step_lr, key,
                        chunk: int):
         """Generator yielding crystals every ``chunk`` steps via chunked scans

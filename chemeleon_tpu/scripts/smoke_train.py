@@ -48,6 +48,10 @@ def main() -> None:
     ap.add_argument("--log-dir", default="logs")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--exp-name", default="mp40_smoke")
+    ap.add_argument("--preset", default="chemeleon_bert_composition",
+                    help="named config; e.g. chemeleon_composition for the "
+                         "offline element-fraction conditioner")
+    ap.add_argument("--text-backend", default="hash")
     ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--batch", type=int, default=64)
@@ -70,13 +74,13 @@ def main() -> None:
     from chemeleon_tpu.train.trainer import Trainer
 
     cfg = get_config(
-        "chemeleon_bert_composition",
+        args.preset,
         exp_name=args.exp_name, data_dir=args.data_dir, log_dir=args.log_dir,
         hidden_dim=args.hidden, num_layers=args.layers, num_freqs=64,
         time_dim=64, text_dim=128, text_embed_dim=128, batch_size=args.batch,
         lr=args.lr, scheduler=args.scheduler, early_stopping=10 ** 6,
         checkpoint_every_n_epochs=args.ckpt_every, max_epochs=args.epochs)
-    trainer = Trainer(cfg, text_backend="hash")
+    trainer = Trainer(cfg, text_backend=args.text_backend)
     result = trainer.fit()
     losses = [h["val/loss"] for h in result["history"]]
     print(json.dumps({"val_loss_first": losses[0], "val_loss_last": losses[-1],

@@ -473,3 +473,111 @@ def test_stream_error_surfaces_to_client(model, monkeypatch):
             list(predict_stream(url, "TiO2", 4, 1, timeout=60))
     finally:
         server.shutdown()
+
+
+def test_concurrent_streams_coalesce(model):
+    """N concurrent /predict streams coalesce into ~1 chunked scan per
+    window instead of N serialized scans (round-2 VERDICT item 6), and each
+    client receives exactly its own samples at every step."""
+    from concurrent.futures import ThreadPoolExecutor
+    from chemeleon_tpu.serve.client import predict_stream
+    from chemeleon_tpu.serve.server import ChemeleonServer
+
+    port = _free_port()
+    server = ChemeleonServer(model=model, host="127.0.0.1", port=port,
+                             stream_chunk=5, batch_window_s=1.0)
+    server.run(background=True)
+    try:
+        url = f"http://127.0.0.1:{port}"
+
+        def one(i):
+            return list(predict_stream(url, f"T{i}O2", 4, i + 1,
+                                       timeout=600))
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            results = [f.result() for f in
+                       [ex.submit(one, i) for i in range(4)]]
+        for i, payloads in enumerate(results):
+            assert len(payloads) == 20 // 5
+            assert payloads[-1]["step"] == 0
+            # demultiplexing: client i asked for i+1 samples of 4 atoms
+            for p in payloads:
+                assert len(p["atoms"]) == i + 1
+                assert all(len(a["atom_types"]) == 4 for a in p["atoms"])
+        # the 4 same-window streams shared device scans
+        assert server.stream_batch_calls < 4, server.stream_batch_calls
+    finally:
+        server.shutdown()
+
+
+def test_sampling_session_viewmodel(model):
+    """The Dash app's dash-free view-model (app/utils.SamplingSession):
+    background streaming job, poll() snapshots, per-sample/step selection,
+    CIF export, double-start guard (reference dash_app.py feature set)."""
+    import sys
+    import time as _time
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from app.utils import SamplingSession, crystal_to_png_b64
+
+    s = SamplingSession()
+    assert s.poll() == {"n_steps": 0, "done": False, "error": None}
+    assert s.crystal(0) is None
+    assert s.start(model, "TiO2", 4, 2)
+    deadline = _time.time() + 300
+    while not s.poll()["done"] and _time.time() < deadline:
+        _time.sleep(0.1)
+    state = s.poll()
+    assert state["done"] and state["error"] is None
+    assert state["n_steps"] == 20 // 5 or state["n_steps"] == 20
+    c = s.crystal(1, -1)
+    assert c is not None and len(c) == 4
+    assert s.crystal(5, -1) is None  # out-of-range sample
+    cif = s.cif(0)
+    assert "_cell_length_a" in cif
+    png = crystal_to_png_b64(c)
+    assert png.startswith("data:image/png;base64,") and len(png) > 1000
+    # a finished session can be restarted
+    assert s.start(model, "SiO2", 4, 1)
+    while not s.poll()["done"] and _time.time() < deadline:
+        _time.sleep(0.1)
+    assert s.poll()["done"]
+
+
+def test_sampling_session_error_surfaces():
+    from pathlib import Path
+    import sys
+    import time as _time
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from app.utils import SamplingSession
+
+    class Boom:
+        class cfg:
+            timesteps = 20
+
+        def sample(self, *a, **kw):
+            raise RuntimeError("model fell over")
+
+    s = SamplingSession()
+    assert s.start(Boom(), "x", 4, 1)
+    deadline = _time.time() + 30
+    while not s.poll()["done"] and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert "model fell over" in s.poll()["error"]
+
+
+def test_dash_app_import_guarded():
+    """Without dash installed, importing the app module exits with a clear
+    message instead of a bare ImportError traceback."""
+    import importlib.util
+    if importlib.util.find_spec("dash") is not None:
+        pytest.skip("dash installed; guard not reachable")
+    from pathlib import Path
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, "-c", "import app.dash_app"],
+        cwd=str(Path(__file__).resolve().parents[1]),
+        capture_output=True, text=True)
+    assert r.returncode != 0
+    assert "dash is not installed" in (r.stderr + r.stdout)
