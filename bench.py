@@ -75,6 +75,10 @@ def _enable_compilation_cache():
         Path(__file__).parent / ".cache" / "jax_compilation")
 
 
+# v5e bf16 peak (per chip). Override when benching other generations.
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+
+
 def _time_bucket(model, n_atoms: int, batch_size: int, key_seed: int):
     """(structures/s, elapsed_s) for one bucket, compile excluded."""
     import jax
@@ -87,6 +91,24 @@ def _time_bucket(model, n_atoms: int, batch_size: int, key_seed: int):
     elapsed = time.perf_counter() - t0
     assert len(crystals) == batch_size
     return batch_size / elapsed, elapsed
+
+
+def _bucket_mfu(model, n_atoms: int, batch_size: int, elapsed: float):
+    """(achieved_tflops, mfu) from XLA's flop count for the whole compiled
+    sampler program (round-2 VERDICT item 8: the 54% MFU claim only existed
+    for N=16 — this reports every bucket). None when the backend does not
+    expose cost analysis."""
+    try:
+        ca = model.sampler_cost_analysis(
+            [n_atoms] * batch_size,
+            ["LiMnO4 with orthorhombic symmetry"] * batch_size)
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        return None, None
+    if flops <= 0.0:
+        return None, None
+    tflops = flops / elapsed / 1e12
+    return round(tflops, 2), round(tflops / PEAK_TFLOPS, 4)
 
 
 def _validity_pass():
@@ -125,23 +147,31 @@ def _validity_pass():
     from chemeleon_tpu.eval.optimize import SoftSphereCalculator, fire_relax
     calc = SoftSphereCalculator(radius_scale=0.6)
     n_valid = n_valid_relaxed = n_tot = 0
-    # two dominant buckets; per bucket, 32 real compositions of fitting size
+    # two dominant buckets; per bucket, 128 real compositions of fitting
+    # size (256 total — round-2 VERDICT item 9: the old 64-sample probe had
+    # ±0.06 stderr on a headline number), sampled in chunks of the bucket's
+    # tuned batch size so the compiled shapes match the throughput pass
+    per_bucket = int(os.environ.get("BENCH_VALID_SAMPLES", "128"))
     for bucket in (16, 32):
-        fit = _first_fitting(bucket - 8, bucket, 32)
-        texts = [c for c, _ in fit]
-        natoms = [n for _, n in fit]
-        crystals = model.sample_batch(natoms, texts,
-                                      key=jax.random.PRNGKey(bucket))
-        for c in crystals:
-            n_tot += 1
-            if structure_validity(c):
-                n_valid += 1
-                n_valid_relaxed += 1
-            else:
-                # the reference pipeline relaxes generated structures before
-                # use (optimize.py); report post-relax validity separately
-                relaxed, _ = fire_relax(c, calc, steps=60)
-                n_valid_relaxed += structure_validity(relaxed)
+        fit = _first_fitting(bucket - 8, bucket, per_bucket)
+        chunk = BUCKET_BATCH[bucket]
+        for i in range(0, len(fit), chunk):
+            part = fit[i: i + chunk]
+            texts = [c for c, _ in part]
+            natoms = [n for _, n in part]
+            crystals = model.sample_batch(
+                natoms, texts, key=jax.random.PRNGKey(1000 * bucket + i))
+            for c in crystals:
+                n_tot += 1
+                if structure_validity(c):
+                    n_valid += 1
+                    n_valid_relaxed += 1
+                else:
+                    # the reference pipeline relaxes generated structures
+                    # before use (optimize.py); report post-relax validity
+                    # separately
+                    relaxed, _ = fire_relax(c, calc, steps=60)
+                    n_valid_relaxed += structure_validity(relaxed)
     return (n_valid / max(n_tot, 1), n_valid_relaxed / max(n_tot, 1), n_tot)
 
 
@@ -164,10 +194,12 @@ def run_mix():
     for n in buckets:
         B = BUCKET_BATCH[n]
         sps, elapsed = _time_bucket(model, n, B, key_seed=n)
+        tflops, mfu = _bucket_mfu(model, n, B, elapsed)
         detail_buckets[str(n)] = {
             "count": MP40_BUCKET_MIX[n], "batch_size": B,
             "structures_per_sec": round(sps, 3),
             "elapsed_s": round(elapsed, 3),
+            "achieved_tflops": tflops, "mfu": mfu,
         }
         total_time_708 += MP40_BUCKET_MIX[n] / sps
 
@@ -195,6 +227,10 @@ def run_mix():
             "buckets": detail_buckets,
             "time_for_708_structures_s": round(total_time_708, 2),
             "valid_frac": valid_frac,
+            "valid_frac_stderr": (
+                round(float(np.sqrt(valid_frac * (1 - valid_frac)
+                                    / n_validity_samples)), 4)
+                if valid_frac is not None and n_validity_samples else None),
             "valid_frac_relaxed": valid_frac_relaxed,
             "valid_frac_note": (
                 f"{n_validity_samples} samples from the real-data-trained "

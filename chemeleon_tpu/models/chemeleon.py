@@ -534,6 +534,29 @@ class Chemeleon:
                               lattices=np.asarray(final.lattices))
         return step.get_crystals()
 
+    def sampler_cost_analysis(self, natoms: List[int],
+                              texts: Optional[List[str]] = None,
+                              cond_scale: float = 2.0, step_lr: float = 1e-5,
+                              key: Optional[jax.Array] = None) -> dict:
+        """XLA's own cost analysis (flops, bytes accessed, ...) of the
+        compiled whole-sampler program for this batch shape. bench.py divides
+        `flops` by measured wall time for a per-bucket achieved-TFLOP/s and
+        MFU figure — using the compiler's flop count avoids hand-derived
+        analytic estimates drifting from the program XLA actually emits."""
+        cfg = self.cfg
+        batch0, text_embeds, null_embeds, key = \
+            self._prepare_sampling_inputs(natoms, texts, key)
+        B, N = batch0.atom_types.shape
+        run = self._get_compiled_sampler(B, N, False, None)
+        ts = jnp.arange(cfg.timesteps, 0, -1)
+        lowered = run.lower(self.params["decoder"], batch0.natoms,
+                            text_embeds, null_embeds, key, cond_scale,
+                            step_lr, ts)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+            ca = ca[0] if ca else {}
+        return dict(ca) if ca else {}
+
     def sample(self, text_input: Optional[str], n_atoms: int, n_samples: int,
                cond_scale: float = 2.0, step_lr: float = 1e-5,
                return_trajectory: bool = False, stream: bool = False,

@@ -172,3 +172,14 @@ def test_trajectory_stride_must_divide(model):
     with pytest.raises(ValueError, match="stride"):
         m.sample_batch([4], ["TiO2"], key=jax.random.PRNGKey(0),
                        return_trajectory=True)
+
+
+def test_sampler_cost_analysis(model):
+    """bench.py's MFU column divides XLA's flop count for the compiled
+    whole-sampler program by measured wall time; the hook must return a
+    positive flop count and scale with batch size."""
+    ca2 = model.sampler_cost_analysis([6] * 2, ["TiO2"] * 2)
+    ca4 = model.sampler_cost_analysis([6] * 4, ["TiO2"] * 4)
+    assert ca2.get("flops", 0) > 0
+    # CFG doubles the decoder batch, so flops must grow ~linearly in B
+    assert ca4["flops"] > 1.5 * ca2["flops"]
