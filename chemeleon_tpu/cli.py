@@ -78,11 +78,16 @@ Examples:
               help="Maximum multiplication Z factor for the composition.")
 @click.option("--save-dir", "-s", default="results/TiO2", show_default=True,
               help="Directory where the generated results will be saved.")
+@click.option("--csp", is_flag=True, default=False,
+              help="CSP mode: clamp atom types to the target composition "
+                   "(exact composition by construction) instead of relying "
+                   "on text guidance + filtering.")
 def cli_sample_target_composition(target_composition, n_samples, max_natoms,
-                                  max_factor, save_dir):
+                                  max_factor, save_dir, csp):
     sample_target_composition(
         target_composition=target_composition, n_samples=n_samples,
-        max_natoms=max_natoms, max_factor=max_factor, save_dir=save_dir)
+        max_natoms=max_natoms, max_factor=max_factor, save_dir=save_dir,
+        csp=csp)
 
 
 @sample.command(
@@ -120,8 +125,12 @@ def cli_sample_prompt(text_input, n_atoms, n_samples, save_dir):
 @click.option("--save-path", default="results", show_default=True)
 @click.option("--max-rows", default=None, type=int,
               help="Evaluate only the first N rows.")
+@click.option("--csp", is_flag=True, default=False,
+              help="Fixed-composition (CSP) protocol: clamp atom types to "
+                   "each test row's composition and measure geometry "
+                   "quality.")
 def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
-                 max_rows):
+                 max_rows, csp):
     from chemeleon_tpu.eval.evaluate import test_evaluate
     from chemeleon_tpu.models.chemeleon import Chemeleon
 
@@ -130,7 +139,7 @@ def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
     model = Chemeleon.load_from_checkpoint(model_path)
     test_evaluate(model, test_data=test_data, n_samples=n_samples,
                   cond_scale=cond_scale, save_path=save_path,
-                  max_rows=max_rows)
+                  max_rows=max_rows, csp=csp)
 
 
 @cli.command(name="bench", help="Run the sampling throughput benchmark.")

@@ -35,10 +35,15 @@ def _assemble_text(row: Dict[str, str], text_targets) -> str:
 
 
 def _packed_generate(model, parsed, n_samples, cond_scale, key,
-                     pack_rows: int = 8):
+                     pack_rows: int = 8, csp: bool = False):
     """TPU-first generation: pack several test rows into one sampler batch
     (grouped by padding bucket), instead of one sampler call per row like
-    the reference (evaluate.py:94-99). Returns {row_index: [Crystal]}."""
+    the reference (evaluate.py:94-99). Returns {row_index: [Crystal]}.
+
+    ``csp=True`` evaluates the CSP task instead of free generation: atom
+    types are clamped to each test structure's own composition
+    (models/chemeleon.py sampler_step), so the metrics measure geometry
+    quality at known stoichiometry (the DiffCSP protocol)."""
     from chemeleon_tpu.ops.graph import pick_bucket
     buckets = model.cfg.pad_buckets
     by_bucket: Dict[int, list] = defaultdict(list)
@@ -48,14 +53,16 @@ def _packed_generate(model, parsed, n_samples, cond_scale, key,
     for bucket, idxs in sorted(by_bucket.items()):
         for s in range(0, len(idxs), pack_rows):
             chunk = idxs[s: s + pack_rows]
-            natoms, texts = [], []
+            natoms, texts, ftypes = [], [], []
             for i in chunk:
                 test_st, text = parsed[i]
                 natoms += [len(test_st)] * n_samples
                 texts += [text] * n_samples
+                ftypes += [np.asarray(test_st.atom_types)] * n_samples
             gen = model.sample_batch(
                 natoms, texts if texts[0] is not None else None,
                 cond_scale=cond_scale, n_max=bucket,
+                fixed_types=ftypes if csp else None,
                 key=jax.random.fold_in(key, bucket * 100003 + s))
             for j, i in enumerate(chunk):
                 out[i] = gen[j * n_samples: (j + 1) * n_samples]
@@ -67,13 +74,14 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
                   save_path: Union[str, Path] = "results",
                   max_rows: Optional[int] = None,
                   calculator=None, seed: int = 42,
-                  progress: bool = True, pack_rows: int = 8
-                  ) -> Dict[str, float]:
+                  progress: bool = True, pack_rows: int = 8,
+                  csp: bool = False) -> Dict[str, float]:
     """Evaluate ``model`` (a Chemeleon with params loaded) on the test CSV.
 
     ``pack_rows`` > 1 batches several rows per compiled sampler call (same
-    protocol, much higher TPU utilization). Returns the mean metrics dict;
-    writes results.csv under save_path.
+    protocol, much higher TPU utilization). ``csp`` switches to the
+    fixed-composition protocol (see _packed_generate). Returns the mean
+    metrics dict; writes results.csv under save_path.
     """
     csv.field_size_limit(10 ** 9)
     path = Path(test_data)
@@ -101,7 +109,7 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
         except Exception as e:
             print(f"Error parsing row {i}: {e}")
     generated = _packed_generate(model, parsed, n_samples, cond_scale, key,
-                                 pack_rows=max(1, pack_rows))
+                                 pack_rows=max(1, pack_rows), csp=csp)
 
     it = [(i, rows[i]) for i in sorted(parsed)]
     if progress:

@@ -209,8 +209,16 @@ def sampler_step(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
                  cfg: ChemeleonConfig, state: SamplerState, t: jnp.ndarray,
                  mask: jnp.ndarray, text_embeds: Optional[jnp.ndarray],
                  null_text_embeds: Optional[jnp.ndarray], key: jax.Array,
-                 cond_scale: float, step_lr: float) -> SamplerState:
-    """One reverse step t -> t-1 (predictor + corrector)."""
+                 cond_scale: float, step_lr: float,
+                 fixed_types: Optional[jnp.ndarray] = None) -> SamplerState:
+    """One reverse step t -> t-1 (predictor + corrector).
+
+    ``fixed_types`` [B, N] switches to CSP mode (the DiffCSP task CSPNet was
+    built for): atom types are KNOWN and clamped every step — only lattice
+    and coords diffuse. The reference has no such mode (its composition
+    workflow filters text-guided samples, sample_target_composition.py:57-62);
+    here it turns exact-composition generation from a rejection-sampling
+    lottery into a certainty."""
     B, N = state.atom_types.shape
     C = cfg.max_atoms
     lmask = jnp.asarray(MASK_LATTICE_MATRIX)
@@ -230,11 +238,14 @@ def sampler_step(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
         decoder_params, decoder, time_emb, a_t, x_t, l_t, mask, cond_scale,
         text_embeds, null_text_embeds)
 
-    # atom types: D3PM ancestral step (chemeleon.py:399-411)
-    rand_a = jax.random.uniform(k_a, (B, N, C))
-    t_bn = jnp.full((B, N), t, jnp.int32)
-    a_next = sched.d3pm.p_logits(pred_a, a_t, t_bn, rand_a)
-    a_next = jnp.where(mask, a_next, 0)
+    if fixed_types is None:
+        # atom types: D3PM ancestral step (chemeleon.py:399-411)
+        rand_a = jax.random.uniform(k_a, (B, N, C))
+        t_bn = jnp.full((B, N), t, jnp.int32)
+        a_next = sched.d3pm.p_logits(pred_a, a_t, t_bn, rand_a)
+        a_next = jnp.where(mask, a_next, 0)
+    else:
+        a_next = jnp.where(mask, fixed_types, 0)
 
     # lattice: DDPM ancestral step (chemeleon.py:412-425)
     alpha_t = sched.beta.alphas[t]
@@ -270,13 +281,17 @@ def sampler_step(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
 
 
 def init_sampler_state(key: jax.Array, natoms: jnp.ndarray,
-                       n_max: int) -> Tuple[SamplerState, jnp.ndarray]:
+                       n_max: int,
+                       fixed_types: Optional[jnp.ndarray] = None,
+                       ) -> Tuple[SamplerState, jnp.ndarray]:
     """Pure-noise init (chemeleon.py:346-349): a_T all-dummy, l_T masked
-    N(0,1), x_T N(0,1) wrapped."""
+    N(0,1), x_T N(0,1) wrapped. In CSP mode (``fixed_types``) a_T starts at
+    the known types instead of the absorbing state."""
     B = natoms.shape[0]
     k_l, k_x = jax.random.split(key)
     lmask = jnp.asarray(MASK_LATTICE_MATRIX)
-    a_T = jnp.zeros((B, n_max), jnp.int32)
+    a_T = (jnp.zeros((B, n_max), jnp.int32) if fixed_types is None
+           else fixed_types.astype(jnp.int32))
     l_T = jax.random.normal(k_l, (B, 3, 3)) * lmask
     x_T = jax.random.normal(k_x, (B, n_max, 3))
     mask = node_mask(natoms, n_max)
@@ -289,7 +304,8 @@ def run_sampler_scan(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
                      text_embeds: Optional[jnp.ndarray],
                      null_text_embeds: Optional[jnp.ndarray], key: jax.Array,
                      cond_scale: float, step_lr: float,
-                     record_traj: bool, stride: int = 1):
+                     record_traj: bool, stride: int = 1,
+                     fixed_types: Optional[jnp.ndarray] = None):
     """Scan the reverse process over ``ts`` (descending timesteps).
 
     ``stride`` (cfg.trajectory_stride) thins the recorded trajectory: the
@@ -301,7 +317,7 @@ def run_sampler_scan(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
     def step(carry: SamplerState, t):
         return sampler_step(decoder_params, decoder, sched, cfg, carry, t,
                             mask, text_embeds, null_text_embeds, key,
-                            cond_scale, step_lr)
+                            cond_scale, step_lr, fixed_types=fixed_types)
 
     if not record_traj or stride <= 1:
         def body(carry, t):
@@ -400,9 +416,9 @@ class Chemeleon:
 
     # -- sampling ------------------------------------------------------------
     def _get_compiled_sampler(self, B: int, n_max: int, record_traj: bool,
-                              chunk: Optional[int]):
+                              chunk: Optional[int], csp: bool = False):
         stride = self.cfg.trajectory_stride if record_traj else 1
-        sig = (B, n_max, record_traj, chunk, self.cfg.text_guide, stride)
+        sig = (B, n_max, record_traj, chunk, self.cfg.text_guide, stride, csp)
         if sig in self._sampler_cache:
             return self._sampler_cache[sig]
 
@@ -410,9 +426,10 @@ class Chemeleon:
 
         @functools.partial(jax.jit, static_argnames=())
         def run(params, natoms, text_embeds, null_text_embeds, key,
-                cond_scale, step_lr, ts, state_in=None):
+                cond_scale, step_lr, ts, fixed_types=None, state_in=None):
             if state_in is None:
-                state, mask = init_sampler_state(key, natoms, n_max)
+                state, mask = init_sampler_state(key, natoms, n_max,
+                                                 fixed_types=fixed_types)
             else:
                 state = state_in
                 mask = node_mask(natoms, n_max)
@@ -421,7 +438,7 @@ class Chemeleon:
                 text_embeds if cfg.text_guide else None,
                 null_text_embeds if cfg.text_guide else None,
                 jax.random.fold_in(key, 1), cond_scale, step_lr, record_traj,
-                stride=stride)
+                stride=stride, fixed_types=fixed_types)
             return final, traj
 
         self._sampler_cache[sig] = run
@@ -459,13 +476,30 @@ class Chemeleon:
                 self.params["text"], texts)
         return batch0, text_embeds, null_embeds, key
 
+    def _pad_fixed_types(self, fixed_types, natoms: List[int], N: int):
+        """[B, N] int32 from per-structure atomic-number sequences; each must
+        have exactly natoms[i] entries (the padded tail is 0/dummy)."""
+        arr = np.zeros((len(natoms), N), np.int32)
+        for i, (types, n) in enumerate(zip(fixed_types, natoms)):
+            types = np.asarray(types, np.int32)
+            if types.shape != (n,):
+                raise ValueError(
+                    f"fixed_types[{i}] has {types.shape[0] if types.ndim else 0}"
+                    f" entries but natoms[{i}]={n}")
+            if (types < 1).any() or (types >= self.cfg.max_atoms).any():
+                raise ValueError(
+                    f"fixed_types[{i}] entries must be atomic numbers in "
+                    f"[1, {self.cfg.max_atoms - 1}]")
+            arr[i, :n] = types
+        return jnp.asarray(arr)
+
     def sample_batch(self, natoms: List[int],
                      texts: Optional[List[str]] = None,
                      cond_scale: float = 2.0, step_lr: float = 1e-5,
                      key: Optional[jax.Array] = None,
                      return_trajectory: bool = False,
                      n_max: Optional[int] = None,
-                     mesh=None):
+                     mesh=None, fixed_types=None):
         """Batched sampling API (heals the reference's API skew — SURVEY §3.5:
         evaluate.py/dash_app.py call an older (natoms, texts) signature).
 
@@ -473,11 +507,21 @@ class Chemeleon:
         data axis for multi-chip inference (params replicated; one compiled
         program, bitwise-equal to single-device per
         test_sharded_sampling_matches_single_device). len(natoms) must be
-        divisible by the data-axis size."""
+        divisible by the data-axis size.
+
+        ``fixed_types``: optional per-structure atomic-number sequences
+        (len == natoms[i]) switching to CSP mode — types clamped, only
+        geometry diffuses (see sampler_step)."""
         cfg = self.cfg
         batch0, text_embeds, null_embeds, key = \
             self._prepare_sampling_inputs(natoms, texts, key, n_max)
         B, N = batch0.atom_types.shape
+        ftypes = None
+        if fixed_types is not None:
+            if len(fixed_types) != len(natoms):
+                raise ValueError("fixed_types and natoms must have the same "
+                                 "number of elements.")
+            ftypes = self._pad_fixed_types(fixed_types, natoms, N)
 
         decoder_params = self.params["decoder"]
         batch_natoms = batch0.natoms
@@ -495,6 +539,8 @@ class Chemeleon:
             batch_natoms = shard(batch_natoms)
             text_embeds = shard(text_embeds)
             null_embeds = shard(null_embeds)
+            if ftypes is not None:
+                ftypes = shard(ftypes)
             # replicate params once per (mesh, params), not per call (serving
             # hot path). Identity-compare BOTH sources and keep them alive in
             # the cache entry: keying on id(mesh) alone served stale weights
@@ -506,10 +552,12 @@ class Chemeleon:
                 self._mesh_params_src = (mesh, decoder_params)
             decoder_params = self._mesh_params
 
-        run = self._get_compiled_sampler(B, N, return_trajectory, None)
+        run = self._get_compiled_sampler(B, N, return_trajectory, None,
+                                         csp=ftypes is not None)
         ts = jnp.arange(cfg.timesteps, 0, -1)
         final, traj = run(decoder_params, batch_natoms, text_embeds,
-                          null_embeds, key, cond_scale, step_lr, ts)
+                          null_embeds, key, cond_scale, step_lr, ts,
+                          fixed_types=ftypes)
 
         natoms_np = np.asarray(batch0.natoms)
         if return_trajectory:
@@ -521,7 +569,8 @@ class Chemeleon:
             # index convention; reference chemeleon.py:361-368 records it).
             # init_sampler_state is deterministic in `key`, so re-deriving
             # it host-side reproduces exactly what the scan started from.
-            state0, _ = init_sampler_state(key, batch0.natoms, N)
+            state0, _ = init_sampler_state(key, batch0.natoms, N,
+                                           fixed_types=ftypes)
             container[cfg.timesteps] = TrajectoryStep(
                 natoms=natoms_np,
                 atom_types=np.asarray(state0.atom_types),
@@ -573,6 +622,29 @@ class Chemeleon:
         if return_trajectory:
             return result.get_trajectory()
         return result
+
+    def sample_csp(self, composition: str, n_samples: int, z: int = 1,
+                   cond_scale: float = 2.0, step_lr: float = 1e-5,
+                   key: Optional[jax.Array] = None):
+        """Crystal-structure-prediction sampling: atom types are fixed to
+        ``z`` formula units of ``composition``; lattice + coords diffuse.
+        Guarantees the exact composition by construction — the task CSPNet
+        (DiffCSP) was designed for, exposed as a first-class mode the
+        reference's filter-based composition workflow lacks."""
+        from chemeleon_tpu.chem.composition import (
+            parse_composition, reduced_composition,
+            reduced_formula_alphabetical)
+
+        red = reduced_composition(parse_composition(composition))
+        comp = reduced_formula_alphabetical(red)
+        from chemeleon_tpu.chem.elements import z_of
+        types = []
+        for el, cnt in sorted(red.items()):
+            types += [z_of(el)] * int(round(cnt)) * z
+        natoms = [len(types)] * n_samples
+        texts = ([comp] * n_samples if self.cfg.text_guide else None)
+        return self.sample_batch(natoms, texts, cond_scale, step_lr, key,
+                                 fixed_types=[types] * n_samples)
 
     def sample_batch_stream(self, natoms: List[int],
                             texts: Optional[List[str]] = None,

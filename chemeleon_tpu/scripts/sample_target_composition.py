@@ -23,7 +23,12 @@ def sample_target_composition(target_composition: str = "TiO2",
                               n_samples: int = 100, max_natoms: int = 40,
                               max_factor: int = 13,
                               save_dir: str = "results/TiO2",
-                              model=None, key=None) -> List[Crystal]:
+                              model=None, key=None,
+                              csp: bool = False) -> List[Crystal]:
+    """``csp=True`` clamps atom types to the target composition (CSP mode,
+    models/chemeleon.py sampler_step) so every sample passes the exact
+    composition filter by construction; the text-guided default mirrors the
+    reference's rejection-sampling workflow."""
     from chemeleon_tpu.models.chemeleon import Chemeleon
 
     if model is None:
@@ -46,8 +51,12 @@ def sample_target_composition(target_composition: str = "TiO2",
             break
         print(f"Sampling {n_samples} structures for {comp} "
               f"with {n_atoms} atoms...")
-        gen_list = model.sample(text_input=comp, n_atoms=n_atoms,
-                                n_samples=n_samples, key=key)
+        if csp:
+            gen_list = model.sample_csp(comp, n_samples=n_samples, z=f,
+                                        key=key)
+        else:
+            gen_list = model.sample(text_input=comp, n_atoms=n_atoms,
+                                    n_samples=n_samples, key=key)
         if gen_list is None:
             continue
         for st in gen_list:

@@ -183,3 +183,49 @@ def test_sampler_cost_analysis(model):
     assert ca2.get("flops", 0) > 0
     # CFG doubles the decoder batch, so flops must grow ~linearly in B
     assert ca4["flops"] > 1.5 * ca2["flops"]
+
+
+# ---- CSP (fixed-composition) mode -----------------------------------------
+
+def test_csp_mode_clamps_types(model):
+    """fixed_types switches to CSP mode: every sample carries exactly the
+    requested atomic numbers (geometry still diffuses)."""
+    types = [22, 8, 8, 22, 8, 8]  # 2x TiO2
+    crystals = model.sample_batch([6, 6], ["TiO2", "TiO2"],
+                                  fixed_types=[types, types],
+                                  key=jax.random.PRNGKey(3))
+    for c in crystals:
+        assert sorted(c.atom_types.tolist()) == sorted(types)
+    # geometry differs between the two samples (only types are clamped)
+    assert not np.allclose(crystals[0].frac_coords, crystals[1].frac_coords)
+
+
+def test_sample_csp_exact_composition(model):
+    crystals = model.sample_csp("TiO2", n_samples=3, z=2,
+                                key=jax.random.PRNGKey(5))
+    assert len(crystals) == 3
+    for c in crystals:
+        assert len(c) == 6
+        assert c.reduced_formula() == "O2Ti"
+
+
+def test_csp_validation_errors(model):
+    with pytest.raises(ValueError, match="entries but natoms"):
+        model.sample_batch([6], ["TiO2"], fixed_types=[[22, 8, 8]],
+                           key=jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="atomic numbers"):
+        model.sample_batch([2], ["X"], fixed_types=[[0, 300]],
+                           key=jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="same number"):
+        model.sample_batch([2, 2], ["A", "B"], fixed_types=[[22, 8]],
+                           key=jax.random.PRNGKey(0))
+
+
+def test_csp_trajectory_records_fixed_types(model):
+    traj = model.sample_batch([4], ["TiO2"], fixed_types=[[22, 22, 8, 8]],
+                              return_trajectory=True,
+                              key=jax.random.PRNGKey(9))
+    # every recorded step, including the t=T initial state, has the types
+    for t in (model.cfg.timesteps, model.cfg.timesteps // 2, 0):
+        step = traj[t]
+        assert step.atom_types[0, :4].tolist() == [22, 22, 8, 8]
