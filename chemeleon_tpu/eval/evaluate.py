@@ -34,8 +34,31 @@ def _assemble_text(row: Dict[str, str], text_targets) -> str:
     return ", ".join(f"{t}: {v}" for t, v in zip(text_targets, vals))
 
 
+def _save_gen_chunk(path: Path, crystals) -> None:
+    """Persist one generation chunk (ragged Crystal list as flat arrays)."""
+    natoms = np.asarray([len(c) for c in crystals], np.int32)
+    np.savez(path,
+             natoms=natoms,
+             atom_types=np.concatenate([c.atom_types for c in crystals]),
+             frac_coords=np.concatenate([c.frac_coords for c in crystals]),
+             lattices=np.stack([c.lattice for c in crystals]))
+
+
+def _load_gen_chunk(path: Path):
+    from chemeleon_tpu.chem.structure import Crystal
+    d = np.load(path)
+    out, off = [], 0
+    for i, n in enumerate(d["natoms"]):
+        out.append(Crystal(lattice=d["lattices"][i],
+                           frac_coords=d["frac_coords"][off:off + n],
+                           atom_types=d["atom_types"][off:off + n]))
+        off += int(n)
+    return out
+
+
 def _packed_generate(model, parsed, n_samples, cond_scale, key,
-                     pack_rows: int = 8, csp: bool = False):
+                     pack_rows: int = 8, csp: bool = False,
+                     cache_dir: Optional[Path] = None):
     """TPU-first generation: pack several test rows into one sampler batch
     (grouped by padding bucket), instead of one sampler call per row like
     the reference (evaluate.py:94-99). Returns {row_index: [Crystal]}.
@@ -43,27 +66,41 @@ def _packed_generate(model, parsed, n_samples, cond_scale, key,
     ``csp=True`` evaluates the CSP task instead of free generation: atom
     types are clamped to each test structure's own composition
     (models/chemeleon.py sampler_step), so the metrics measure geometry
-    quality at known stoichiometry (the DiffCSP protocol)."""
+    quality at known stoichiometry (the DiffCSP protocol).
+
+    ``cache_dir`` persists each generated chunk to disk and skips chunks
+    already present, so a multi-hour full-protocol run survives
+    interruption and resumes where it stopped."""
     from chemeleon_tpu.ops.graph import pick_bucket
     buckets = model.cfg.pad_buckets
     by_bucket: Dict[int, list] = defaultdict(list)
     for i, (test_st, text) in parsed.items():
         by_bucket[pick_bucket(len(test_st), buckets)].append(i)
     out: Dict[int, list] = {}
+    if cache_dir is not None:
+        cache_dir = Path(cache_dir)
+        cache_dir.mkdir(parents=True, exist_ok=True)
     for bucket, idxs in sorted(by_bucket.items()):
         for s in range(0, len(idxs), pack_rows):
             chunk = idxs[s: s + pack_rows]
-            natoms, texts, ftypes = [], [], []
-            for i in chunk:
-                test_st, text = parsed[i]
-                natoms += [len(test_st)] * n_samples
-                texts += [text] * n_samples
-                ftypes += [np.asarray(test_st.atom_types)] * n_samples
-            gen = model.sample_batch(
-                natoms, texts if texts[0] is not None else None,
-                cond_scale=cond_scale, n_max=bucket,
-                fixed_types=ftypes if csp else None,
-                key=jax.random.fold_in(key, bucket * 100003 + s))
+            cpath = (cache_dir / f"gen_b{bucket}_s{s}.npz"
+                     if cache_dir is not None else None)
+            if cpath is not None and cpath.exists():
+                gen = _load_gen_chunk(cpath)
+            else:
+                natoms, texts, ftypes = [], [], []
+                for i in chunk:
+                    test_st, text = parsed[i]
+                    natoms += [len(test_st)] * n_samples
+                    texts += [text] * n_samples
+                    ftypes += [np.asarray(test_st.atom_types)] * n_samples
+                gen = model.sample_batch(
+                    natoms, texts if texts[0] is not None else None,
+                    cond_scale=cond_scale, n_max=bucket,
+                    fixed_types=ftypes if csp else None,
+                    key=jax.random.fold_in(key, bucket * 100003 + s))
+                if cpath is not None:
+                    _save_gen_chunk(cpath, gen)
             for j, i in enumerate(chunk):
                 out[i] = gen[j * n_samples: (j + 1) * n_samples]
     return out
@@ -75,13 +112,17 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
                   max_rows: Optional[int] = None,
                   calculator=None, seed: int = 42,
                   progress: bool = True, pack_rows: int = 8,
-                  csp: bool = False) -> Dict[str, float]:
+                  csp: bool = False,
+                  cache_generation: bool = False) -> Dict[str, float]:
     """Evaluate ``model`` (a Chemeleon with params loaded) on the test CSV.
 
     ``pack_rows`` > 1 batches several rows per compiled sampler call (same
     protocol, much higher TPU utilization). ``csp`` switches to the
-    fixed-composition protocol (see _packed_generate). Returns the mean
-    metrics dict; writes results.csv under save_path.
+    fixed-composition protocol (see _packed_generate).
+    ``cache_generation`` persists generated chunks under
+    save_path/gen_cache so an interrupted run resumes (re-invoke with the
+    SAME test_data/n_samples/seed — chunks are keyed by position). Returns
+    the mean metrics dict; writes results.csv under save_path.
     """
     csv.field_size_limit(10 ** 9)
     path = Path(test_data)
@@ -108,8 +149,10 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
             parsed[i] = (test_st, text)
         except Exception as e:
             print(f"Error parsing row {i}: {e}")
-    generated = _packed_generate(model, parsed, n_samples, cond_scale, key,
-                                 pack_rows=max(1, pack_rows), csp=csp)
+    generated = _packed_generate(
+        model, parsed, n_samples, cond_scale, key,
+        pack_rows=max(1, pack_rows), csp=csp,
+        cache_dir=Path(save_path) / "gen_cache" if cache_generation else None)
 
     it = [(i, rows[i]) for i in sorted(parsed)]
     if progress:

@@ -581,3 +581,43 @@ def test_dash_app_import_guarded():
         capture_output=True, text=True)
     assert r.returncode != 0
     assert "dash is not installed" in (r.stderr + r.stdout)
+
+
+def test_evaluate_csp_and_cache(model, tmp_path, monkeypatch):
+    """CSP protocol: generated samples carry each row's exact composition;
+    cache_generation: a second run reuses the persisted chunks (no sampler
+    calls) and reproduces the same metrics."""
+    from chemeleon_tpu.eval import evaluate as ev
+    from chemeleon_tpu.eval.evaluate import test_evaluate
+    monkeypatch.setattr(ev.M, "test_valid", lambda lst: list(lst))
+    rng = np.random.default_rng(1)
+    rows = []
+    for i in range(2):
+        n = int(rng.integers(3, 6))
+        c = Crystal(lattice_from_parameters(4, 5, 6, 90, 90, 90),
+                    rng.uniform(size=(n, 3)), rng.integers(1, 20, n))
+        rows.append({"material_id": f"mp-{i}", "cif": write_cif(c),
+                     "composition": c.reduced_formula()})
+    path = tmp_path / "test.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["material_id", "cif", "composition"])
+        w.writeheader()
+        w.writerows(rows)
+
+    means = test_evaluate(model, test_data=path, n_samples=3,
+                          save_path=str(tmp_path / "res"), progress=False,
+                          csp=True, cache_generation=True)
+    # CSP clamps types to the reference composition -> exact match always
+    assert means["mean_composition_matching"] == 1.0
+    cache = list((tmp_path / "res" / "gen_cache").glob("*.npz"))
+    assert cache, "generation chunks were not persisted"
+
+    # second run must not sample at all: poison the sampler
+    monkeypatch.setattr(model, "sample_batch",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("sampler called despite cache")))
+    means2 = test_evaluate(model, test_data=path, n_samples=3,
+                           save_path=str(tmp_path / "res"), progress=False,
+                           csp=True, cache_generation=True)
+    assert means2["mean_composition_matching"] == 1.0
+    assert means2["mean_valid_samples"] == means["mean_valid_samples"]
