@@ -117,3 +117,37 @@ class ClipCheckpointBackend:
             cls = out.last_hidden_state[:, 0, :]
             emb = self.text_proj(cls)
         return emb.numpy().astype(np.float32)
+
+
+class OrbaxClipBackend:
+    """Frozen text encoder from one of THIS framework's trained Crystal-CLIP
+    orbax checkpoints (``logs/<exp>/clip_checkpoints/best``; meta.json
+    carries the full config, so the backend is self-describing). Encodes
+    text with the checkpoint's own tower + text projection — the TPU-native
+    analog of the reference's ``chemeleon/clip-*`` wandb-artifact encoders
+    (text_encoder.py:67-82). Output dim = clip_dim: the diffusion model's
+    text_embed_dim must match (same constraint as the reference)."""
+
+    def __init__(self, ckpt_dir):
+        import json
+
+        import jax
+        import orbax.checkpoint as ocp
+
+        from chemeleon_tpu.config import ChemeleonConfig
+        from chemeleon_tpu.models.clip import CrystalClip
+
+        p = Path(ckpt_dir)
+        with open(p / "meta.json") as f:
+            meta = json.load(f)
+        cfg = ChemeleonConfig.from_dict(meta["config"])
+        self.clip = CrystalClip(cfg)
+        like = self.clip.init_params(jax.random.PRNGKey(0))
+        self.params = ocp.StandardCheckpointer().restore(
+            p.absolute() / "params", like)
+        self.clip_dim = cfg.clip_dim
+        self.text_embed_dim = cfg.clip_dim
+
+    def __call__(self, texts: List[str]) -> np.ndarray:
+        emb = self.clip.get_text_embeds(self.params, list(texts))
+        return np.asarray(emb, dtype=np.float32)

@@ -155,6 +155,11 @@ def make_backend(text_encoder_name: str, text_embed_dim: int, max_text_len: int,
     if backend == "hash":
         return HashTextBackend(text_embed_dim)
     if backend in ("hf", "auto"):
+        if text_encoder_name.startswith("clip-orbax:"):
+            # one of THIS framework's trained Crystal-CLIP checkpoints as a
+            # frozen conditioner (clip_backend.OrbaxClipBackend)
+            from chemeleon_tpu.text.clip_backend import OrbaxClipBackend
+            return OrbaxClipBackend(text_encoder_name.split(":", 1)[1])
         if text_encoder_name.startswith("chemeleon/"):
             # trained Crystal-CLIP text tower (reference text_encoder.py:67-82,
             # wandb artifact); look for a locally cached checkpoint
@@ -208,7 +213,8 @@ class TextEncoder:
         # instance (make_backend line ~146) carries its own weights, so the
         # name is pure metadata in both cases
         if (isinstance(backend, str) and backend != "hash"
-                and not text_encoder_name.startswith("chemeleon/")
+                and not text_encoder_name.startswith(
+                    ("chemeleon/", "clip-orbax:"))
                 and text_encoder_name not in MODEL_NAMES):
             raise ValueError(
                 f"Invalid model name {text_encoder_name!r}. "

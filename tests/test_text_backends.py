@@ -99,3 +99,32 @@ def test_determinism_per_backend(tmp_path):
     _save_tokenizer(d)
     be = HFTextBackend(str(d), max_text_len=16)
     np.testing.assert_array_equal(be(TEXTS), be(TEXTS))
+
+
+def test_orbax_clip_backend(tmp_path):
+    """A trained (here: random-init) Crystal-CLIP orbax checkpoint serves as
+    a frozen text conditioner via text_encoder_name="clip-orbax:<dir>" — the
+    TPU-native analog of the reference's chemeleon/clip-* artifact encoders."""
+    import jax
+
+    from chemeleon_tpu.config import get_config
+    from chemeleon_tpu.train.clip_trainer import ClipTrainer
+    from chemeleon_tpu.text.encoder import TextEncoder
+
+    cfg = get_config("clip_composition_featurized", hidden_dim=32,
+                     time_dim=16, text_dim=24, num_layers=2, num_freqs=4,
+                     text_embed_dim=32, clip_dim=16,
+                     log_dir=str(tmp_path))
+    trainer = ClipTrainer(cfg)
+    params = trainer.clip.init_params(jax.random.PRNGKey(0))
+    trainer.save_checkpoint("best", params, None, 0, 0, 1.0)
+    ckpt = trainer.ckpt_dir / "best"
+
+    te = TextEncoder(text_encoder_name=f"clip-orbax:{ckpt}",
+                     text_embed_dim=cfg.clip_dim, text_dim=24)
+    emb = np.asarray(te.backend(["TiO2", "Fe2O3"]))
+    assert emb.shape == (2, cfg.clip_dim)
+    assert not np.allclose(emb[0], emb[1])  # composition-featurized: distinct
+    # deterministic (frozen)
+    again = np.asarray(te.backend(["TiO2", "Fe2O3"]))
+    np.testing.assert_allclose(emb, again)
