@@ -30,7 +30,7 @@ def main(argv=None) -> None:
         loss = trainer.evaluate(params, trainer.dm.test_dataloader())
         print(f"test/loss: {loss:.5f}")
         return
-    result = trainer.fit()
+    result = trainer.fit(resume_from=cfg.resume_from)
     print(f"best val/loss: {result['best_val_loss']:.5f}; "
           f"test/loss: {result['test_loss']:.5f}")
 

@@ -71,3 +71,23 @@ def test_run_crystal_clip_main(data_dir, tmp_path):
               "max_epochs=1", "batch_size=4", "hidden_dim=16",
               "num_layers=1", "num_freqs=2", "clip_dim=8",
               "text_embed_dim=16", "pad_buckets=[8]", "early_stopping=100"])
+
+
+def test_run_crystal_clip_main_resumes(data_dir, tmp_path):
+    """The driver must thread cfg.resume_from into fit() (regression: it
+    used to be silently ignored, restarting interrupted runs from epoch 0)."""
+    import json
+
+    import run_crystal_clip as rcc
+    common = [f"data_dir={data_dir}", f"log_dir={tmp_path}", "batch_size=4",
+              "hidden_dim=16", "num_layers=1", "num_freqs=2", "clip_dim=8",
+              "text_embed_dim=16", "pad_buckets=[8]", "early_stopping=100"]
+    rcc.main(["clip_prompt", "max_epochs=1"] + common)
+    last = tmp_path / "clip_prompt" / "clip_checkpoints" / "last"
+    assert last.exists()
+    rcc.main(["clip_prompt", "max_epochs=2", f"resume_from={last}"] + common)
+    epochs = [json.loads(line)["epoch"]
+              for line in open(tmp_path / "clip_prompt" / "metrics.jsonl")
+              if "epoch" in line]
+    # the resumed run must continue at epoch 1, never re-log epoch 0
+    assert epochs.count(0.0) == 1 and 1.0 in epochs
