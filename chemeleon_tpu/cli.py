@@ -129,8 +129,14 @@ def cli_sample_prompt(text_input, n_atoms, n_samples, save_dir):
               help="Fixed-composition (CSP) protocol: clamp atom types to "
                    "each test row's composition and measure geometry "
                    "quality.")
+@click.option("--pack-rows", default=8, show_default=True,
+              help="Test rows packed per generation batch (higher = better "
+                   "TPU utilization).")
+@click.option("--cache-generation", is_flag=True, default=False,
+              help="Persist generated chunks under <save-path>/gen_cache so "
+                   "an interrupted run resumes where it stopped.")
 def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
-                 max_rows, csp):
+                 max_rows, csp, pack_rows, cache_generation):
     from chemeleon_tpu.eval.evaluate import test_evaluate
     from chemeleon_tpu.models.chemeleon import Chemeleon
 
@@ -139,7 +145,8 @@ def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
     model = Chemeleon.load_from_checkpoint(model_path)
     test_evaluate(model, test_data=test_data, n_samples=n_samples,
                   cond_scale=cond_scale, save_path=save_path,
-                  max_rows=max_rows, csp=csp)
+                  max_rows=max_rows, csp=csp, pack_rows=pack_rows,
+                  cache_generation=cache_generation)
 
 
 @cli.command(name="bench", help="Run the sampling throughput benchmark.")
