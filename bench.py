@@ -61,6 +61,8 @@ _CKPT_CANDIDATES = [
     Path(__file__).parent / "logs" / "mp40_big" / "checkpoints" / "best",
     Path(__file__).parent / "logs" / "mp40_smoke" / "checkpoints" / "best",
 ]
+if os.environ.get("BENCH_VALID_CKPT"):  # probe a specific checkpoint
+    _CKPT_CANDIDATES.insert(0, Path(os.environ["BENCH_VALID_CKPT"]))
 SMOKE_CKPT = next((p for p in _CKPT_CANDIDATES if p.exists()),
                   _CKPT_CANDIDATES[0])
 
@@ -172,7 +174,13 @@ def _validity_pass():
                     # separately
                     relaxed, _ = fire_relax(c, calc, steps=60)
                     n_valid_relaxed += structure_validity(relaxed)
-    return (n_valid / max(n_tot, 1), n_valid_relaxed / max(n_tot, 1), n_tot)
+    # report whether the prompts were semantically LIVE for this checkpoint
+    # (composition/clip-orbax backends) or inert (hash): with a live backend
+    # valid_frac measures GUIDED generation, not just unconditional geometry
+    backend = getattr(model.cfg, "text_encoder", "?")
+    live = backend == "composition" or str(backend).startswith("clip-orbax:")
+    return (n_valid / max(n_tot, 1), n_valid_relaxed / max(n_tot, 1), n_tot,
+            "guided" if live else "inert-text")
 
 
 def run_mix():
@@ -207,13 +215,15 @@ def run_mix():
 
     valid_frac = valid_frac_relaxed = None
     n_validity_samples = 0
+    conditioning = None
     if os.environ.get("BENCH_VALID", "1") != "1":
         skip_reason = "validity pass skipped (BENCH_VALID=0)"
     elif not SMOKE_CKPT.exists():
         skip_reason = "smoke checkpoint not found"
     else:
         skip_reason = None
-        valid_frac, valid_frac_relaxed, n_validity_samples = _validity_pass()
+        (valid_frac, valid_frac_relaxed, n_validity_samples,
+         conditioning) = _validity_pass()
 
     return {
         "metric": "mp40_mix_structures_per_sec_per_chip",
@@ -232,9 +242,11 @@ def run_mix():
                                     / n_validity_samples)), 4)
                 if valid_frac is not None and n_validity_samples else None),
             "valid_frac_relaxed": valid_frac_relaxed,
+            "valid_conditioning": conditioning,
             "valid_frac_note": (
                 f"{n_validity_samples} samples from the real-data-trained "
-                f"checkpoint ({SMOKE_CKPT.parent.parent.name}), real mp-40 "
+                f"checkpoint ({SMOKE_CKPT.parent.parent.name}, conditioning "
+                f"{conditioning}), real mp-40 "
                 "composition prompts at true atom counts, reference "
                 "validity criterion; "
                 "_relaxed = after the soft-sphere FIRE stage (the "
