@@ -56,6 +56,19 @@ def _load_gen_chunk(path: Path):
     return out
 
 
+def _max_gen_batch(bucket: int, hidden_dim: int) -> int:
+    """Largest safe sampler batch for a padding bucket.
+
+    The dominant live tensors in the compiled sampler are the dual-replica
+    [2B, N, N, H] bf16 edge blocks; cap their footprint so packed generation
+    cannot exhaust device memory at large buckets (measured on v5e: B=160
+    at N=36/H=512 crashes the TPU worker; B<=96 at N=40 is sweep-verified,
+    BENCH.md round-2 batch sweep)."""
+    import os
+    budget = float(os.environ.get("CHEMTPU_GEN_EDGE_MB", "256")) * 1e6
+    return max(1, int(budget // (2 * bucket * bucket * hidden_dim * 2)))
+
+
 def _packed_generate(model, parsed, n_samples, cond_scale, key,
                      pack_rows: int = 8, csp: bool = False,
                      cache_dir: Optional[Path] = None):
@@ -94,11 +107,22 @@ def _packed_generate(model, parsed, n_samples, cond_scale, key,
                     natoms += [len(test_st)] * n_samples
                     texts += [text] * n_samples
                     ftypes += [np.asarray(test_st.atom_types)] * n_samples
-                gen = model.sample_batch(
-                    natoms, texts if texts[0] is not None else None,
-                    cond_scale=cond_scale, n_max=bucket,
-                    fixed_types=ftypes if csp else None,
-                    key=jax.random.fold_in(key, bucket * 100003 + s))
+                # sub-batch so the compiled sampler stays inside the device
+                # memory budget at large buckets (see _max_gen_batch)
+                rows_per_call = max(
+                    1, _max_gen_batch(bucket,
+                                      model.cfg.hidden_dim) // n_samples)
+                step = rows_per_call * n_samples
+                kb = jax.random.fold_in(key, bucket * 100003 + s)
+                gen = []
+                for p, lo in enumerate(range(0, len(natoms), step)):
+                    sl = slice(lo, lo + step)
+                    gen += model.sample_batch(
+                        natoms[sl],
+                        texts[sl] if texts[0] is not None else None,
+                        cond_scale=cond_scale, n_max=bucket,
+                        fixed_types=ftypes[sl] if csp else None,
+                        key=jax.random.fold_in(kb, p))
                 if cpath is not None:
                     _save_gen_chunk(cpath, gen)
             for j, i in enumerate(chunk):

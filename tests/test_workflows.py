@@ -583,6 +583,48 @@ def test_dash_app_import_guarded():
     assert "dash is not installed" in (r.stderr + r.stdout)
 
 
+def test_packed_generate_sub_batches_under_memory_cap(model, tmp_path,
+                                                      monkeypatch):
+    """With a tiny edge-memory budget the packed generator must split each
+    chunk into several sampler calls (the full-protocol run crashed the TPU
+    worker at B=160/N=36 before this cap existed) while preserving the
+    row -> samples mapping: in CSP mode every sample of a row must still
+    carry that row's own composition."""
+    from chemeleon_tpu.eval import evaluate as ev
+    from chemeleon_tpu.eval.evaluate import test_evaluate
+    monkeypatch.setenv("CHEMTPU_GEN_EDGE_MB", "0.004")  # forces ~1 row/call
+    assert ev._max_gen_batch(8, model.cfg.hidden_dim) <= 4
+    monkeypatch.setattr(ev.M, "test_valid", lambda lst: list(lst))
+    calls = []
+    orig = model.sample_batch
+    monkeypatch.setattr(
+        model, "sample_batch",
+        lambda natoms, *a, **k: calls.append(len(natoms)) or
+        orig(natoms, *a, **k))
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(3):
+        n = int(rng.integers(3, 6))
+        c = Crystal(lattice_from_parameters(4, 5, 6, 90, 90, 90),
+                    rng.uniform(size=(n, 3)),
+                    rng.integers(1 + i * 5, 6 + i * 5, n))
+        rows.append({"material_id": f"mp-{i}", "cif": write_cif(c),
+                     "composition": c.reduced_formula()})
+    path = tmp_path / "test.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["material_id", "cif", "composition"])
+        w.writeheader()
+        w.writerows(rows)
+    means = test_evaluate(model, test_data=path, n_samples=4,
+                          save_path=str(tmp_path / "res"), progress=False,
+                          csp=True)
+    assert len(calls) > 1, "memory cap did not split the packed chunk"
+    # the floor is one row per call: n_samples structures
+    assert max(calls) == 4
+    # mapping intact: CSP clamping keeps every row's own composition
+    assert means["mean_composition_matching"] == 1.0
+
+
 def test_evaluate_csp_and_cache(model, tmp_path, monkeypatch):
     """CSP protocol: generated samples carry each row's exact composition;
     cache_generation: a second run reuses the persisted chunks (no sampler
