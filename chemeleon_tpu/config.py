@@ -143,6 +143,12 @@ class ChemeleonConfig:
     checkpoint_every_n_epochs: int = 1
     # Trajectory snapshot stride inside the compiled sampler (1 = every step).
     trajectory_stride: int = 1
+    # Hang watchdog (utils/watchdog.py): abort the process with exit code 17
+    # if no training step completes for this many seconds (a wedged TPU
+    # tunnel blocks forever inside a device call — process exit is the only
+    # recovery), so scripts/train_resilient.py can restart + resume from the
+    # "last" checkpoint. 0 = off.
+    watchdog_timeout_s: float = 0.0
 
     def replace(self, **kwargs: Any) -> "ChemeleonConfig":
         return dataclasses.replace(self, **kwargs)

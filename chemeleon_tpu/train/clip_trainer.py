@@ -39,6 +39,7 @@ from chemeleon_tpu.train.optim import (
     set_group_learning_rates,
 )
 from chemeleon_tpu.utils.logging import MetricLogger
+from chemeleon_tpu.utils.watchdog import HangWatchdog
 
 
 def clip_param_labels(params):
@@ -230,9 +231,15 @@ class ClipTrainer:
 
         if self.plateau.scale != 1.0:  # resumed mid-decay
             opt_state = _apply_plateau(opt_state, self.plateau.scale)
+        # wedged-device recovery: see utils/watchdog.py + Trainer.fit
+        watchdog = (HangWatchdog(cfg.watchdog_timeout_s,
+                                 where=f"ClipTrainer.fit({cfg.exp_name})")
+                    if cfg.watchdog_timeout_s > 0 else None)
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             for batch, texts in self.dm.train_dataloader(epoch):
+                if watchdog is not None:
+                    watchdog.beat()
                 params, opt_state, loss = self._step(
                     params, opt_state, self._shard_data(batch),
                     self._shard_data(self._text(texts)))
@@ -258,6 +265,8 @@ class ClipTrainer:
                 self.save_checkpoint("best", params, opt_state, epoch, gs, val)
             if self.early.update(val):
                 break
+        if watchdog is not None:
+            watchdog.stop()
 
         # reference: trainer.test(ckpt_path="best") — reload BEST from disk
         best_params = params

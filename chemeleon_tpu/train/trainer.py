@@ -33,6 +33,7 @@ from chemeleon_tpu.train.optim import (
 )
 from chemeleon_tpu.train.step import make_eval_step, make_train_step
 from chemeleon_tpu.utils.logging import MetricLogger
+from chemeleon_tpu.utils.watchdog import HangWatchdog
 
 
 class Trainer:
@@ -214,6 +215,12 @@ class Trainer:
         if (resume_from or cfg.resume_from) and bv_meta.exists():
             with open(bv_meta) as f:
                 best_validity = float(json.load(f).get("validity", -1.0))
+        # a wedged device blocks forever inside a device call; the watchdog
+        # turns that into exit code 17 so a supervisor can restart + resume
+        # (utils/watchdog.py; scripts/train_resilient.py)
+        watchdog = (HangWatchdog(cfg.watchdog_timeout_s,
+                                 where=f"Trainer.fit({cfg.exp_name})")
+                    if cfg.watchdog_timeout_s > 0 else None)
         epoch = start_epoch - 1  # resume from a completed run: loop may not run
         try:
             for epoch in range(start_epoch, max_epochs):
@@ -221,6 +228,8 @@ class Trainer:
                 opt_state = set_learning_rate(opt_state, lr)
                 t0 = time.time()
                 for batch, texts in self.dm.train_dataloader(epoch):
+                    if watchdog is not None:
+                        watchdog.beat()
                     step_key = jax.random.fold_in(key, global_step)
                     params, opt_state, metrics = self._train_step(
                         params, opt_state, batch, self._raw_text(texts),
@@ -276,6 +285,8 @@ class Trainer:
                 if stop:
                     break
         finally:
+            if watchdog is not None:
+                watchdog.stop()
             # always leave the model holding LIVE params: the train step
             # donates its inputs, so anything assigned before the loop would
             # reference deleted buffers if fit aborts (e.g. the non-finite
