@@ -72,5 +72,32 @@ def composition_natoms(comp: Dict[str, float]) -> int:
     return int(round(sum(comp.values())))
 
 
+def composition_log_prior(formulas, num_classes: int, eps: float = 1e-9):
+    """[B, num_classes] additive log-bias over atom-type classes for
+    composition-prior guided sampling (framework extension; the reference's
+    composition workflow filters free samples instead,
+    sample_target_composition.py:57-62).
+
+    Row i is log(fraction of element z in formulas[i]); elements absent from
+    the formula — and the dummy/absorbing class 0, which a clean x0 never is —
+    get log(eps). Added to the predicted x0 type logits with a scale knob
+    before the D3PM posterior; softmax shift-invariance makes absolute level
+    irrelevant, only differences steer."""
+    import numpy as np
+
+    out = np.full((len(formulas), num_classes), np.log(eps), np.float32)
+    for i, f in enumerate(formulas):
+        comp = parse_composition(f)
+        total = sum(comp.values())
+        for el, cnt in comp.items():
+            z = Z_BY_SYMBOL[el]
+            if not 1 <= z < num_classes:
+                raise ValueError(
+                    f"element {el} (Z={z}) outside the model's "
+                    f"{num_classes}-class type vocabulary")
+            out[i, z] = np.log(cnt / total)
+    return out
+
+
 def formula_from_counts(comp: Dict[str, int]) -> str:
     return "".join(f"{el}{n if n > 1 else ''}" for el, n in sorted(comp.items()))

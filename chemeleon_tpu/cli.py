@@ -82,12 +82,17 @@ Examples:
               help="CSP mode: clamp atom types to the target composition "
                    "(exact composition by construction) instead of relying "
                    "on text guidance + filtering.")
+@click.option("--comp-prior-scale", default=0.0, show_default=True,
+              help="Composition-prior guidance strength: > 0 biases free "
+                   "type diffusion toward the target element fractions "
+                   "(softer than --csp, stronger than text guidance alone).")
 def cli_sample_target_composition(target_composition, n_samples, max_natoms,
-                                  max_factor, save_dir, csp):
+                                  max_factor, save_dir, csp,
+                                  comp_prior_scale):
     sample_target_composition(
         target_composition=target_composition, n_samples=n_samples,
         max_natoms=max_natoms, max_factor=max_factor, save_dir=save_dir,
-        csp=csp)
+        csp=csp, comp_prior_scale=comp_prior_scale)
 
 
 @sample.command(
@@ -135,8 +140,13 @@ def cli_sample_prompt(text_input, n_atoms, n_samples, save_dir):
 @click.option("--cache-generation", is_flag=True, default=False,
               help="Persist generated chunks under <save-path>/gen_cache so "
                    "an interrupted run resumes where it stopped.")
+@click.option("--comp-prior-scale", default=0.0, show_default=True,
+              help="Composition-prior guidance strength: > 0 biases each "
+                   "row's type diffusion toward its own composition's "
+                   "element fractions (types still diffuse freely).")
 def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
-                 max_rows, csp, pack_rows, cache_generation):
+                 max_rows, csp, pack_rows, cache_generation,
+                 comp_prior_scale):
     from chemeleon_tpu.eval.evaluate import test_evaluate
     from chemeleon_tpu.models.chemeleon import Chemeleon
 
@@ -146,7 +156,8 @@ def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
     test_evaluate(model, test_data=test_data, n_samples=n_samples,
                   cond_scale=cond_scale, save_path=save_path,
                   max_rows=max_rows, csp=csp, pack_rows=pack_rows,
-                  cache_generation=cache_generation)
+                  cache_generation=cache_generation,
+                  comp_prior_scale=comp_prior_scale)
 
 
 @cli.command(name="bench", help="Run the sampling throughput benchmark.")

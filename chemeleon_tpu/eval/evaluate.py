@@ -71,6 +71,7 @@ def _max_gen_batch(bucket: int, hidden_dim: int) -> int:
 
 def _packed_generate(model, parsed, n_samples, cond_scale, key,
                      pack_rows: int = 8, csp: bool = False,
+                     comp_prior_scale: float = 0.0,
                      cache_dir: Optional[Path] = None):
     """TPU-first generation: pack several test rows into one sampler batch
     (grouped by padding bucket), instead of one sampler call per row like
@@ -80,6 +81,9 @@ def _packed_generate(model, parsed, n_samples, cond_scale, key,
     types are clamped to each test structure's own composition
     (models/chemeleon.py sampler_step), so the metrics measure geometry
     quality at known stoichiometry (the DiffCSP protocol).
+    ``comp_prior_scale > 0`` keeps types diffusing freely but biases each
+    row's x0 type logits toward its own composition's element fractions
+    (composition-prior guidance, models/chemeleon.py sampler_step).
 
     ``cache_dir`` persists each generated chunk to disk and skips chunks
     already present, so a multi-hour full-protocol run survives
@@ -101,12 +105,13 @@ def _packed_generate(model, parsed, n_samples, cond_scale, key,
             if cpath is not None and cpath.exists():
                 gen = _load_gen_chunk(cpath)
             else:
-                natoms, texts, ftypes = [], [], []
+                natoms, texts, ftypes, comps = [], [], [], []
                 for i in chunk:
                     test_st, text = parsed[i]
                     natoms += [len(test_st)] * n_samples
                     texts += [text] * n_samples
                     ftypes += [np.asarray(test_st.atom_types)] * n_samples
+                    comps += [test_st.reduced_formula()] * n_samples
                 # sub-batch so the compiled sampler stays inside the device
                 # memory budget at large buckets (see _max_gen_batch)
                 rows_per_call = max(
@@ -122,6 +127,9 @@ def _packed_generate(model, parsed, n_samples, cond_scale, key,
                         texts[sl] if texts[0] is not None else None,
                         cond_scale=cond_scale, n_max=bucket,
                         fixed_types=ftypes[sl] if csp else None,
+                        comp_prior=(comps[sl] if comp_prior_scale > 0
+                                    else None),
+                        comp_prior_scale=comp_prior_scale,
                         key=jax.random.fold_in(kb, p))
                 if cpath is not None:
                     _save_gen_chunk(cpath, gen)
@@ -136,7 +144,7 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
                   max_rows: Optional[int] = None,
                   calculator=None, seed: int = 42,
                   progress: bool = True, pack_rows: int = 8,
-                  csp: bool = False,
+                  csp: bool = False, comp_prior_scale: float = 0.0,
                   cache_generation: bool = False) -> Dict[str, float]:
     """Evaluate ``model`` (a Chemeleon with params loaded) on the test CSV.
 
@@ -176,6 +184,7 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
     generated = _packed_generate(
         model, parsed, n_samples, cond_scale, key,
         pack_rows=max(1, pack_rows), csp=csp,
+        comp_prior_scale=comp_prior_scale,
         cache_dir=Path(save_path) / "gen_cache" if cache_generation else None)
 
     it = [(i, rows[i]) for i in sorted(parsed)]

@@ -210,7 +210,8 @@ def sampler_step(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
                  mask: jnp.ndarray, text_embeds: Optional[jnp.ndarray],
                  null_text_embeds: Optional[jnp.ndarray], key: jax.Array,
                  cond_scale: float, step_lr: float,
-                 fixed_types: Optional[jnp.ndarray] = None) -> SamplerState:
+                 fixed_types: Optional[jnp.ndarray] = None,
+                 type_prior: Optional[jnp.ndarray] = None) -> SamplerState:
     """One reverse step t -> t-1 (predictor + corrector).
 
     ``fixed_types`` [B, N] switches to CSP mode (the DiffCSP task CSPNet was
@@ -218,7 +219,13 @@ def sampler_step(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
     and coords diffuse. The reference has no such mode (its composition
     workflow filters text-guided samples, sample_target_composition.py:57-62);
     here it turns exact-composition generation from a rejection-sampling
-    lottery into a certainty."""
+    lottery into a certainty.
+
+    ``type_prior`` [B, C] is an additive log-bias on the predicted x0 type
+    logits (composition-prior guidance — classifier guidance with an analytic
+    classifier): types still diffuse freely, but each ancestral step is
+    steered toward the target element fractions. Softer than CSP (atom
+    counts/stoichiometry stay free), stronger than text guidance alone."""
     B, N = state.atom_types.shape
     C = cfg.max_atoms
     lmask = jnp.asarray(MASK_LATTICE_MATRIX)
@@ -240,6 +247,8 @@ def sampler_step(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
 
     if fixed_types is None:
         # atom types: D3PM ancestral step (chemeleon.py:399-411)
+        if type_prior is not None:
+            pred_a = pred_a + type_prior[:, None, :]
         rand_a = jax.random.uniform(k_a, (B, N, C))
         t_bn = jnp.full((B, N), t, jnp.int32)
         a_next = sched.d3pm.p_logits(pred_a, a_t, t_bn, rand_a)
@@ -305,7 +314,8 @@ def run_sampler_scan(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
                      null_text_embeds: Optional[jnp.ndarray], key: jax.Array,
                      cond_scale: float, step_lr: float,
                      record_traj: bool, stride: int = 1,
-                     fixed_types: Optional[jnp.ndarray] = None):
+                     fixed_types: Optional[jnp.ndarray] = None,
+                     type_prior: Optional[jnp.ndarray] = None):
     """Scan the reverse process over ``ts`` (descending timesteps).
 
     ``stride`` (cfg.trajectory_stride) thins the recorded trajectory: the
@@ -317,7 +327,8 @@ def run_sampler_scan(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
     def step(carry: SamplerState, t):
         return sampler_step(decoder_params, decoder, sched, cfg, carry, t,
                             mask, text_embeds, null_text_embeds, key,
-                            cond_scale, step_lr, fixed_types=fixed_types)
+                            cond_scale, step_lr, fixed_types=fixed_types,
+                            type_prior=type_prior)
 
     if not record_traj or stride <= 1:
         def body(carry, t):
@@ -416,9 +427,11 @@ class Chemeleon:
 
     # -- sampling ------------------------------------------------------------
     def _get_compiled_sampler(self, B: int, n_max: int, record_traj: bool,
-                              chunk: Optional[int], csp: bool = False):
+                              chunk: Optional[int], csp: bool = False,
+                              prior: bool = False):
         stride = self.cfg.trajectory_stride if record_traj else 1
-        sig = (B, n_max, record_traj, chunk, self.cfg.text_guide, stride, csp)
+        sig = (B, n_max, record_traj, chunk, self.cfg.text_guide, stride, csp,
+               prior)
         if sig in self._sampler_cache:
             return self._sampler_cache[sig]
 
@@ -426,7 +439,8 @@ class Chemeleon:
 
         @functools.partial(jax.jit, static_argnames=())
         def run(params, natoms, text_embeds, null_text_embeds, key,
-                cond_scale, step_lr, ts, fixed_types=None, state_in=None):
+                cond_scale, step_lr, ts, fixed_types=None, state_in=None,
+                type_prior=None):
             if state_in is None:
                 state, mask = init_sampler_state(key, natoms, n_max,
                                                  fixed_types=fixed_types)
@@ -438,7 +452,8 @@ class Chemeleon:
                 text_embeds if cfg.text_guide else None,
                 null_text_embeds if cfg.text_guide else None,
                 jax.random.fold_in(key, 1), cond_scale, step_lr, record_traj,
-                stride=stride, fixed_types=fixed_types)
+                stride=stride, fixed_types=fixed_types,
+                type_prior=type_prior)
             return final, traj
 
         self._sampler_cache[sig] = run
@@ -499,7 +514,9 @@ class Chemeleon:
                      key: Optional[jax.Array] = None,
                      return_trajectory: bool = False,
                      n_max: Optional[int] = None,
-                     mesh=None, fixed_types=None):
+                     mesh=None, fixed_types=None,
+                     comp_prior: Optional[List[Optional[str]]] = None,
+                     comp_prior_scale: float = 1.0):
         """Batched sampling API (heals the reference's API skew — SURVEY §3.5:
         evaluate.py/dash_app.py call an older (natoms, texts) signature).
 
@@ -511,17 +528,38 @@ class Chemeleon:
 
         ``fixed_types``: optional per-structure atomic-number sequences
         (len == natoms[i]) switching to CSP mode — types clamped, only
-        geometry diffuses (see sampler_step)."""
+        geometry diffuses (see sampler_step).
+
+        ``comp_prior``: optional per-structure composition strings (None
+        entries = unbiased row) for composition-prior guided sampling —
+        ``comp_prior_scale`` * log-fraction bias added to the predicted x0
+        type logits each step (see sampler_step). Mutually exclusive with
+        ``fixed_types``; scale 0.0 reproduces unbiased sampling exactly."""
         cfg = self.cfg
         batch0, text_embeds, null_embeds, key = \
             self._prepare_sampling_inputs(natoms, texts, key, n_max)
         B, N = batch0.atom_types.shape
         ftypes = None
         if fixed_types is not None:
+            if comp_prior is not None:
+                raise ValueError("comp_prior has no effect in CSP mode "
+                                 "(fixed_types): types do not diffuse")
             if len(fixed_types) != len(natoms):
                 raise ValueError("fixed_types and natoms must have the same "
                                  "number of elements.")
             ftypes = self._pad_fixed_types(fixed_types, natoms, N)
+        type_prior = None
+        if comp_prior is not None:
+            if len(comp_prior) != len(natoms):
+                raise ValueError("comp_prior and natoms must have the same "
+                                 "number of elements.")
+            from chemeleon_tpu.chem.composition import composition_log_prior
+            prior_np = np.zeros((B, cfg.max_atoms), np.float32)
+            rows = [i for i, c in enumerate(comp_prior) if c is not None]
+            if rows:
+                prior_np[rows] = comp_prior_scale * composition_log_prior(
+                    [comp_prior[i] for i in rows], cfg.max_atoms)
+                type_prior = jnp.asarray(prior_np)
 
         decoder_params = self.params["decoder"]
         batch_natoms = batch0.natoms
@@ -541,6 +579,8 @@ class Chemeleon:
             null_embeds = shard(null_embeds)
             if ftypes is not None:
                 ftypes = shard(ftypes)
+            if type_prior is not None:
+                type_prior = shard(type_prior)
             # replicate params once per (mesh, params), not per call (serving
             # hot path). Identity-compare BOTH sources and keep them alive in
             # the cache entry: keying on id(mesh) alone served stale weights
@@ -553,11 +593,12 @@ class Chemeleon:
             decoder_params = self._mesh_params
 
         run = self._get_compiled_sampler(B, N, return_trajectory, None,
-                                         csp=ftypes is not None)
+                                         csp=ftypes is not None,
+                                         prior=type_prior is not None)
         ts = jnp.arange(cfg.timesteps, 0, -1)
         final, traj = run(decoder_params, batch_natoms, text_embeds,
                           null_embeds, key, cond_scale, step_lr, ts,
-                          fixed_types=ftypes)
+                          fixed_types=ftypes, type_prior=type_prior)
 
         natoms_np = np.asarray(batch0.natoms)
         if return_trajectory:

@@ -24,11 +24,16 @@ def sample_target_composition(target_composition: str = "TiO2",
                               max_factor: int = 13,
                               save_dir: str = "results/TiO2",
                               model=None, key=None,
-                              csp: bool = False) -> List[Crystal]:
+                              csp: bool = False,
+                              comp_prior_scale: float = 0.0) -> List[Crystal]:
     """``csp=True`` clamps atom types to the target composition (CSP mode,
     models/chemeleon.py sampler_step) so every sample passes the exact
     composition filter by construction; the text-guided default mirrors the
-    reference's rejection-sampling workflow."""
+    reference's rejection-sampling workflow. ``comp_prior_scale > 0`` steers
+    free type diffusion toward the target element fractions via an additive
+    log-prior on the x0 type logits (models/chemeleon.py sampler_step) —
+    raising the exact-composition filter pass rate without CSP's hard
+    clamp."""
     from chemeleon_tpu.models.chemeleon import Chemeleon
 
     if model is None:
@@ -54,6 +59,12 @@ def sample_target_composition(target_composition: str = "TiO2",
         if csp:
             gen_list = model.sample_csp(comp, n_samples=n_samples, z=f,
                                         key=key)
+        elif comp_prior_scale > 0:
+            gen_list = model.sample_batch(
+                [n_atoms] * n_samples,
+                [comp] * n_samples if model.cfg.text_guide else None,
+                key=key, comp_prior=[comp] * n_samples,
+                comp_prior_scale=comp_prior_scale)
         else:
             gen_list = model.sample(text_input=comp, n_atoms=n_atoms,
                                     n_samples=n_samples, key=key)

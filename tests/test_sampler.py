@@ -229,3 +229,51 @@ def test_csp_trajectory_records_fixed_types(model):
     for t in (model.cfg.timesteps, model.cfg.timesteps // 2, 0):
         step = traj[t]
         assert step.atom_types[0, :4].tolist() == [22, 22, 8, 8]
+
+
+def test_comp_prior_scale_zero_matches_unbiased(model):
+    """comp_prior with scale 0.0 adds a zero bias — bitwise-identical
+    samples to the no-prior path (same key)."""
+    key = jax.random.PRNGKey(11)
+    plain = model.sample_batch([6, 6], ["TiO2", "TiO2"], key=key)
+    biased = model.sample_batch([6, 6], ["TiO2", "TiO2"], key=key,
+                                comp_prior=["TiO2", "TiO2"],
+                                comp_prior_scale=0.0)
+    for ca, cb in zip(plain, biased):
+        np.testing.assert_array_equal(ca.atom_types, cb.atom_types)
+        np.testing.assert_allclose(ca.frac_coords, cb.frac_coords)
+        np.testing.assert_allclose(ca.lattice, cb.lattice)
+
+
+def test_comp_prior_strong_restricts_element_set(model):
+    """A strong prior confines sampled types to the target element set even
+    under random-init params (types still diffuse — counts are free)."""
+    crystals = model.sample_batch([6] * 4, ["TiO2"] * 4, key=jax.random.PRNGKey(12),
+                                  comp_prior=["TiO2"] * 4,
+                                  comp_prior_scale=50.0)
+    for c in crystals:
+        assert set(c.atom_types.tolist()) <= {8, 22}, c.atom_types
+
+
+def test_comp_prior_none_rows_stay_unbiased(model):
+    """None entries in comp_prior leave those rows unbiased."""
+    key = jax.random.PRNGKey(13)
+    mixed = model.sample_batch([6, 6], ["TiO2", "NaCl"], key=key,
+                               comp_prior=[None, "NaCl"],
+                               comp_prior_scale=50.0)
+    # row 1 strongly biased -> only Na/Cl; row 0 free (random-init model
+    # almost surely produces something outside {Na, Cl} across 6 atoms)
+    assert set(mixed[1].atom_types.tolist()) <= {11, 17}
+
+
+def test_comp_prior_rejected_in_csp_mode(model):
+    with pytest.raises(ValueError, match="no effect in CSP mode"):
+        model.sample_batch([2], ["TiO2"], fixed_types=[[22, 8]],
+                           comp_prior=["TiO2"],
+                           key=jax.random.PRNGKey(0))
+
+
+def test_comp_prior_length_validation(model):
+    with pytest.raises(ValueError, match="same number"):
+        model.sample_batch([2, 2], ["A", "B"], comp_prior=["TiO2"],
+                           key=jax.random.PRNGKey(0))

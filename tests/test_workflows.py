@@ -113,6 +113,47 @@ def test_evaluate_end_to_end(model, tmp_path, monkeypatch):
     assert 0.0 <= means["mean_valid_samples"] <= 1.0
 
 
+def test_sample_target_composition_prior_mode(model, tmp_path):
+    from chemeleon_tpu.scripts.sample_target_composition import (
+        sample_target_composition,
+    )
+    # a strong prior confines the element set, so with the lattice filter
+    # bypassed by small cells the composition filter becomes reachable even
+    # for random-init params; the pipeline must run end to end either way
+    out = sample_target_composition("TiO2", n_samples=4, max_natoms=3,
+                                    max_factor=1, save_dir=str(tmp_path),
+                                    model=model, key=jax.random.PRNGKey(2),
+                                    comp_prior_scale=50.0)
+    assert isinstance(out, list)
+
+
+def test_evaluate_comp_prior_scale(model, tmp_path, monkeypatch):
+    """comp_prior_scale>0 drives composition_matching to 1.0 on a random-init
+    model when the prior is strong (each row biased to its own composition
+    with a single-element target => exact match guaranteed)."""
+    from chemeleon_tpu.eval import evaluate as ev
+    from chemeleon_tpu.eval.evaluate import test_evaluate
+    monkeypatch.setattr(ev.M, "test_valid", lambda lst: list(lst))
+    rng = np.random.default_rng(1)
+    rows = []
+    for i in range(2):
+        n = int(rng.integers(3, 6))
+        c = Crystal(lattice_from_parameters(4, 5, 6, 90, 90, 90),
+                    rng.uniform(size=(n, 3)),
+                    np.full(n, 14))  # pure Si rows: any count matches Si
+        rows.append({"material_id": f"mp-{i}", "cif": write_cif(c),
+                     "composition": c.reduced_formula()})
+    path = tmp_path / "test.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["material_id", "cif", "composition"])
+        w.writeheader()
+        w.writerows(rows)
+    means = test_evaluate(model, test_data=path, n_samples=2,
+                          save_path=str(tmp_path / "res"), progress=False,
+                          comp_prior_scale=50.0)
+    assert means["mean_composition_matching"] == 1.0
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
