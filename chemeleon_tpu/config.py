@@ -143,6 +143,14 @@ class ChemeleonConfig:
     checkpoint_every_n_epochs: int = 1
     # Trajectory snapshot stride inside the compiled sampler (1 = every step).
     trajectory_stride: int = 1
+    # Exponential moving average of the diffusion params (framework
+    # extension; standard diffusion-model practice the reference lacks).
+    # > 0 enables: ema = d*ema + (1-d)*params after every step, with the
+    # usual (1+step)/(10+step) warmup cap so early EMA tracks the fast-
+    # moving params. Every checkpoint then also carries "params_ema"
+    # (Chemeleon.load_from_checkpoint(use_ema=True)), and validation logs
+    # val/loss_ema alongside val/loss. 0 = off.
+    ema_decay: float = 0.0
     # Hang watchdog (utils/watchdog.py): abort the process with exit code 17
     # if no training step completes for this many seconds (a wedged TPU
     # tunnel blocks forever inside a device call — process exit is the only

@@ -728,15 +728,23 @@ class Chemeleon:
 
     # -- checkpoint loading ----------------------------------------------------
     @classmethod
-    def load_from_checkpoint(cls, path: str, **kwargs) -> "Chemeleon":
+    def load_from_checkpoint(cls, path: str, use_ema: bool = False,
+                             **kwargs) -> "Chemeleon":
         """Load either an orbax checkpoint directory produced by the Trainer
         (with meta.json carrying the config) or a reference Lightning .ckpt
         (converted on the fly). Mirrors Lightning's argument-free
-        load_from_checkpoint (reference chemeleon.py:113-115)."""
+        load_from_checkpoint (reference chemeleon.py:113-115).
+
+        ``use_ema=True`` restores the EMA weights a cfg.ema_decay > 0 run
+        saved alongside the raw params (errors if the checkpoint has none)."""
         import json
         import os
 
         if str(path).endswith(".ckpt"):
+            if use_ema:
+                raise ValueError("reference Lightning checkpoints carry no "
+                                 "EMA params (use_ema requires a Trainer "
+                                 "checkpoint from an ema_decay > 0 run)")
             from chemeleon_tpu.utils.checkpoints import load_pretrained
             return load_pretrained("general_text", path_ckpt=path, **kwargs)
         import orbax.checkpoint as ocp
@@ -747,8 +755,12 @@ class Chemeleon:
         cfg = ChemeleonConfig.from_dict(meta["config"])
         model = cls(cfg, **kwargs)
         like = model.init_params(jax.random.PRNGKey(0))
+        leaf = "params_ema" if use_ema else "params"
+        if use_ema and not (p / "params_ema").exists():
+            raise FileNotFoundError(
+                f"{p} has no params_ema (trained with ema_decay=0?)")
         ckptr = ocp.StandardCheckpointer()
-        model.params = ckptr.restore(p.absolute() / "params", like)
+        model.params = ckptr.restore(p.absolute() / leaf, like)
         return model
 
     @classmethod

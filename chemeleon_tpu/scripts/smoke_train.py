@@ -65,6 +65,11 @@ def main() -> None:
                          "short-epoch runs)")
     ap.add_argument("--eval-rows", type=int, default=8)
     ap.add_argument("--eval-samples", type=int, default=8)
+    ap.add_argument("--ema-decay", type=float, default=0.0,
+                    help="> 0 maintains EMA params (saved as params_ema in "
+                         "every checkpoint; val/loss_ema logged)")
+    ap.add_argument("--resume-from", default=None,
+                    help="checkpoint dir to resume from")
     args = ap.parse_args()
 
     if not (Path(args.data_dir) / "train.csv").exists():
@@ -79,9 +84,10 @@ def main() -> None:
         hidden_dim=args.hidden, num_layers=args.layers, num_freqs=64,
         time_dim=64, text_dim=128, text_embed_dim=128, batch_size=args.batch,
         lr=args.lr, scheduler=args.scheduler, early_stopping=10 ** 6,
-        checkpoint_every_n_epochs=args.ckpt_every, max_epochs=args.epochs)
+        checkpoint_every_n_epochs=args.ckpt_every, max_epochs=args.epochs,
+        ema_decay=args.ema_decay)
     trainer = Trainer(cfg, text_backend=args.text_backend)
-    result = trainer.fit()
+    result = trainer.fit(resume_from=args.resume_from)
     losses = [h["val/loss"] for h in result["history"]]
     print(json.dumps({"val_loss_first": losses[0], "val_loss_last": losses[-1],
                       "val_loss_best": min(losses), "epochs": len(losses)}))

@@ -61,7 +61,8 @@ class Trainer:
     # -- checkpointing (orbax; reference ModelCheckpoint run.py:47-53) -------
     def save_checkpoint(self, tag: str, params, opt_state, epoch: int,
                         global_step: int, val_loss: float,
-                        extra_meta: Optional[Dict[str, Any]] = None) -> None:
+                        extra_meta: Optional[Dict[str, Any]] = None,
+                        ema_params=None) -> None:
         """Save params AND optimizer state (exact-resume parity with
         Lightning's full training-state checkpoints, run.py:47-53)."""
         path = (self.ckpt_dir / tag).absolute()
@@ -72,6 +73,9 @@ class Trainer:
         ckptr.wait_until_finished()
         if opt_state is not None:
             ckptr.save(path / "opt_state", opt_state)
+            ckptr.wait_until_finished()
+        if ema_params is not None:
+            ckptr.save(path / "params_ema", ema_params)
             ckptr.wait_until_finished()
         meta = {"epoch": epoch, "global_step": global_step,
                 "val_loss": float(val_loss), "config": self.cfg.to_dict(),
@@ -157,12 +161,17 @@ class Trainer:
             # counter (upstream declares this key but never reads it,
             # reference config.py:85; here it works)
             params, _, _ = self.load_checkpoint(cfg.load_path, params)
+        ema_params = None
         if resume_from or cfg.resume_from:
+            src = resume_from or cfg.resume_from
             params, meta, restored_opt = self.load_checkpoint(
-                resume_from or cfg.resume_from, params,
+                src, params,
                 # abstract template: orbax only needs shapes/dtypes, and a
                 # real tx.init here would transiently double opt-state memory
                 opt_state_like=jax.eval_shape(self.tx.init, params))
+            if cfg.ema_decay > 0 and (Path(src) / "params_ema").exists():
+                ema_params = ocp.StandardCheckpointer().restore(
+                    Path(src).absolute() / "params_ema", params)
             start_epoch = meta["epoch"] + 1
             # continue the step counter: fold_in(key, global_step) RNG and
             # logger x-axis must not replay the original run's prefix
@@ -173,6 +182,8 @@ class Trainer:
                 self.early.load_state_dict(meta["early"])
         if self.mesh is not None:
             params = shard_params(self.mesh, params)
+            if ema_params is not None:
+                ema_params = shard_params(self.mesh, ema_params)
             if restored_opt is not None:
                 # orbax restored (committed) onto a single device; move every
                 # leaf to the mesh or the jitted step sees incompatible
@@ -200,6 +211,19 @@ class Trainer:
                 restored_opt = jax.tree.map(_place, restored_opt, shardings)
         opt_state = restored_opt if restored_opt is not None \
             else self.tx.init(params)
+
+        ema_update = None
+        if cfg.ema_decay > 0:
+            if ema_params is None:  # fresh run (or pre-EMA resume source)
+                ema_params = jax.tree.map(jnp.array, params)
+
+            @jax.jit
+            def ema_update(ema, p, step):
+                # warmup cap: early on the EMA tracks the fast-moving params
+                # instead of the random init (the usual (1+t)/(10+t) rule)
+                d = jnp.minimum(cfg.ema_decay, (1.0 + step) / (10.0 + step))
+                return jax.tree.map(lambda e, x: d * e + (1.0 - d) * x,
+                                    ema, p)
 
         # resume must not clobber a better pre-resume "best" checkpoint
         best_val = float("inf")
@@ -234,6 +258,9 @@ class Trainer:
                     params, opt_state, metrics = self._train_step(
                         params, opt_state, batch, self._raw_text(texts),
                         step_key)
+                    if ema_update is not None:
+                        ema_params = ema_update(ema_params, params,
+                                                global_step)
                     if global_step % 50 == 0:
                         loss_val = float(metrics["loss"])
                         # failure detection: a non-finite loss means the run
@@ -254,6 +281,10 @@ class Trainer:
                     global_step += 1
 
                 val_metrics = self.validate(params, epoch)
+                if ema_update is not None:
+                    val_metrics.update({
+                        f"{k}_ema": v for k, v in
+                        self.validate(ema_params, epoch).items()})
                 val_loss = val_metrics.get("val/loss", float("inf"))
                 lr = self.lr_sched.on_validation(val_loss)
                 opt_state = set_learning_rate(opt_state, lr)
@@ -277,11 +308,13 @@ class Trainer:
                 k_ckpt = cfg.checkpoint_every_n_epochs
                 if last_epoch or (k_ckpt > 0 and epoch % k_ckpt == 0):
                     self.save_checkpoint("last", params, opt_state, epoch,
-                                         global_step, val_loss)
+                                         global_step, val_loss,
+                                         ema_params=ema_params)
                 if val_loss < best_val:
                     best_val = val_loss
                     self.save_checkpoint("best", params, opt_state, epoch,
-                                         global_step, val_loss)
+                                         global_step, val_loss,
+                                         ema_params=ema_params)
                 if stop:
                     break
         finally:

@@ -548,3 +548,49 @@ def test_validity_monitored_checkpoint(data_dir, tmp_path):
     assert all("val/validity" in h for h in out["history"])
     assert 0.0 <= out["history"][0]["val/validity"] <= 1.0
     assert (tr.ckpt_dir / "best_validity" / "meta.json").exists()
+
+
+def test_ema_checkpoint_and_loading(data_dir, tmp_path):
+    """ema_decay > 0: checkpoints carry params_ema, val/loss_ema is logged,
+    load_from_checkpoint(use_ema=True) restores weights that differ from the
+    raw params, and resume restores the EMA tree."""
+    from chemeleon_tpu.models.chemeleon import Chemeleon
+    from chemeleon_tpu.train.trainer import Trainer
+    cfg = get_config("chemeleon_bert_prompt", data_dir=data_dir,
+                     log_dir=str(tmp_path / "logs"), exp_name="ema",
+                     ema_decay=0.9, **TINY)
+    tr = Trainer(cfg, text_backend="hash")
+    tr.fit(max_epochs=2)
+    assert (tr.ckpt_dir / "last" / "params_ema").exists()
+    lines = [json.loads(l) for l in open(tr.logger.path)]
+    keys = set().union(*[set(l) for l in lines])
+    assert "val/loss_ema" in keys
+
+    raw = Chemeleon.load_from_checkpoint(str(tr.ckpt_dir / "last"),
+                                         text_backend="hash")
+    ema = Chemeleon.load_from_checkpoint(str(tr.ckpt_dir / "last"),
+                                         use_ema=True, text_backend="hash")
+    r = jax.tree.leaves(raw.params["decoder"])[0]
+    e = jax.tree.leaves(ema.params["decoder"])[0]
+    assert r.shape == e.shape and not np.allclose(r, e)
+    # EMA params sample fine
+    assert len(ema.sample("a crystal of X", 4, 2,
+                          key=jax.random.PRNGKey(0))) == 2
+
+    # resume keeps updating the restored EMA tree (no crash, file persists)
+    tr2 = Trainer(cfg, text_backend="hash")
+    tr2.fit(max_epochs=3, resume_from=str(tr.ckpt_dir / "last"))
+    assert (tr2.ckpt_dir / "last" / "params_ema").exists()
+
+
+def test_use_ema_errors_without_ema_checkpoint(data_dir, tmp_path):
+    from chemeleon_tpu.models.chemeleon import Chemeleon
+    from chemeleon_tpu.train.trainer import Trainer
+    cfg = get_config("chemeleon_bert_prompt", data_dir=data_dir,
+                     log_dir=str(tmp_path / "logs"), exp_name="noema",
+                     **TINY)
+    tr = Trainer(cfg, text_backend="hash")
+    tr.fit(max_epochs=1)
+    with pytest.raises(FileNotFoundError, match="params_ema"):
+        Chemeleon.load_from_checkpoint(str(tr.ckpt_dir / "last"),
+                                       use_ema=True, text_backend="hash")
