@@ -97,10 +97,14 @@ def _packed_generate(model, parsed, n_samples, cond_scale, key,
     if cache_dir is not None:
         cache_dir = Path(cache_dir)
         cache_dir.mkdir(parents=True, exist_ok=True)
+    # protocol-variant tag: a cache written under one conditioning mode must
+    # not be served to another (csp / prior-guided runs vs the same save_path)
+    tag = ("_csp" if csp else
+           f"_prior{comp_prior_scale:g}" if comp_prior_scale > 0 else "")
     for bucket, idxs in sorted(by_bucket.items()):
         for s in range(0, len(idxs), pack_rows):
             chunk = idxs[s: s + pack_rows]
-            cpath = (cache_dir / f"gen_b{bucket}_s{s}.npz"
+            cpath = (cache_dir / f"gen_b{bucket}_s{s}{tag}.npz"
                      if cache_dir is not None else None)
             if cpath is not None and cpath.exists():
                 gen = _load_gen_chunk(cpath)
