@@ -45,12 +45,17 @@ Examples:
 @click.option("--save-dir", "-s", default="results/navigate",
               show_default=True,
               help="Directory where the generated results will be saved.")
+@click.option("--csp", is_flag=True, default=False,
+              help="CSP mode: clamp atom types per enumerated composition.")
+@click.option("--comp-prior-scale", default=0.0, show_default=True,
+              help="Composition-prior guidance strength per enumerated "
+                   "composition (softer than --csp).")
 def cli_navigate_chemical_system(elements, n_samples, max_stoich, max_natoms,
-                                 max_factor, save_dir):
+                                 max_factor, save_dir, csp, comp_prior_scale):
     navigate_chemical_system(
         elements=elements.split(","), n_samples=n_samples,
         max_stoich=max_stoich, max_natoms=max_natoms, max_factor=max_factor,
-        save_dir=save_dir)
+        save_dir=save_dir, csp=csp, comp_prior_scale=comp_prior_scale)
 
 
 @cli.group(help="Commands related to sampling target compositions or prompts")

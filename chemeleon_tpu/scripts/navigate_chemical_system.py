@@ -44,13 +44,24 @@ def navigate_chemical_system(elements: List[str] = ("Zn", "Ti", "O"),
                              max_stoich: int = 8, n_samples: int = 100,
                              max_natoms: int = 40, max_factor: int = 13,
                              save_dir: str = "results/navigate",
-                             model=None, key=None) -> List[Crystal]:
+                             model=None, key=None, csp: bool = False,
+                             comp_prior_scale: float = 0.0) -> List[Crystal]:
+    """``csp``/``comp_prior_scale`` mirror the composition workflow: clamp or
+    bias atom types per enumerated formula (sample_target_composition.py
+    docstring) — the navigate filter accepts any in-system composition, so
+    both modes raise its yield rather than change its semantics."""
     from chemeleon_tpu.models.chemeleon import Chemeleon
-    from tqdm import tqdm
 
     if model is None:
         model = Chemeleon.load_composition_model()
     print(f"Text targets: {model.cfg.text_targets}")
+
+    def tqdm(x):  # optional nicety; keep default args runnable without it
+        return x
+    try:
+        from tqdm import tqdm  # noqa: F811
+    except ImportError:
+        pass
 
     save = Path(save_dir)
     save.mkdir(parents=True, exist_ok=True)
@@ -71,8 +82,19 @@ def navigate_chemical_system(elements: List[str] = ("Zn", "Ti", "O"),
                 break
             print(f"Sampling {n_samples} structures for {formula} "
                   f"with {n_atoms} atoms...")
-            gen_list = model.sample(text_input=formula, n_atoms=n_atoms,
-                                    n_samples=n_samples, key=key)
+            if csp:
+                gen_list = model.sample_csp(formula, n_samples=n_samples,
+                                            z=f, key=key)
+            elif comp_prior_scale > 0:
+                gen_list = model.sample_batch(
+                    [n_atoms] * n_samples,
+                    ([formula] * n_samples if model.cfg.text_guide
+                     else None),
+                    key=key, comp_prior=[formula] * n_samples,
+                    comp_prior_scale=comp_prior_scale)
+            else:
+                gen_list = model.sample(text_input=formula, n_atoms=n_atoms,
+                                        n_samples=n_samples, key=key)
             if gen_list is None:
                 continue
             for st in gen_list:

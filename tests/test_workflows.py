@@ -154,6 +154,27 @@ def test_evaluate_comp_prior_scale(model, tmp_path, monkeypatch):
     assert means["mean_composition_matching"] == 1.0
 
 
+def test_navigate_csp_and_prior_modes(model, tmp_path):
+    from chemeleon_tpu.scripts.navigate_chemical_system import (
+        navigate_chemical_system,
+    )
+    # tiny system, tiny budget: both alternate modes must run end to end
+    out = navigate_chemical_system(["Na", "Cl"], max_stoich=1, n_samples=2,
+                                   max_natoms=4, max_factor=1,
+                                   save_dir=str(tmp_path / "csp"),
+                                   model=model, key=jax.random.PRNGKey(0),
+                                   csp=True)
+    # CSP clamps types, so every kept structure is exactly NaCl (only the
+    # >60 A lattice filter can drop samples)
+    assert all(st.reduced_formula() == "ClNa" for st in out)
+    out2 = navigate_chemical_system(["Na", "Cl"], max_stoich=1, n_samples=2,
+                                    max_natoms=4, max_factor=1,
+                                    save_dir=str(tmp_path / "prior"),
+                                    model=model, key=jax.random.PRNGKey(0),
+                                    comp_prior_scale=50.0)
+    assert isinstance(out2, list)
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
