@@ -52,11 +52,15 @@ MP40_BUCKET_MIX = {8: 36, 12: 54, 16: 83, 20: 127, 24: 19, 32: 99, 36: 131,
 BUCKET_BATCH = {8: 128, 12: 128, 16: 128, 20: 64, 24: 48, 32: 32, 36: 48,
                 40: 32}
 
-# best available real-data-trained checkpoint, in preference order by
-# measured raw/post-relax validity on 64 held-out composition prompts:
-# mp40_full (hidden 512, 6L: 0.69 / 0.97) > mp40_big (384, 6L: 0.61 /
+# best available real-data-trained checkpoint. mp40_comp (512, 6L,
+# composition backend) leads: its prompts are semantically LIVE for the
+# probe (valid_frac then measures GUIDED generation — round-2 VERDICT
+# item 9), and its conditioning is the round-3 flagship. Fallbacks by
+# measured raw/post-relax validity on held-out composition prompts:
+# mp40_full (512, 6L hash: 0.69 / 0.97) > mp40_big (384, 6L: 0.61 /
 # 0.95) > mp40_smoke (256, 4L: 0.48 / 0.92)
 _CKPT_CANDIDATES = [
+    Path(__file__).parent / "logs" / "mp40_comp" / "checkpoints" / "best",
     Path(__file__).parent / "logs" / "mp40_full" / "checkpoints" / "best",
     Path(__file__).parent / "logs" / "mp40_big" / "checkpoints" / "best",
     Path(__file__).parent / "logs" / "mp40_smoke" / "checkpoints" / "best",
@@ -269,7 +273,9 @@ def run_single():
     edge_style = os.environ.get("BENCH_EDGE", "fc")  # fc | knn
 
     cfg = get_config(None, timesteps=timesteps, compute_dtype=compute_dtype,
-                     pad_buckets=(n_atoms,), edge_style=edge_style)
+                     pad_buckets=(n_atoms,), edge_style=edge_style,
+                     sampler_scan_unroll=int(
+                         os.environ.get("BENCH_SCAN_UNROLL", "1")))
     model = Chemeleon(cfg, text_backend="hash")
     model.init_params(jax.random.PRNGKey(0))
 

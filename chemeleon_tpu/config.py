@@ -143,6 +143,12 @@ class ChemeleonConfig:
     checkpoint_every_n_epochs: int = 1
     # Trajectory snapshot stride inside the compiled sampler (1 = every step).
     trajectory_stride: int = 1
+    # lax.scan unroll factor for the sampler's reverse loop: > 1 replicates
+    # the step body so XLA can overlap VPU epilogues / DMA across adjacent
+    # timesteps, at the cost of compile time and program size. Numerics are
+    # identical by construction (same ops, same order per step). Perf knob
+    # for the HBM-pressured N>=32 buckets; sweep on-chip before adopting.
+    sampler_scan_unroll: int = 1
     # Exponential moving average of the diffusion params (framework
     # extension; standard diffusion-model practice the reference lacks).
     # > 0 enables: ema = d*ema + (1-d)*params after every step, with the

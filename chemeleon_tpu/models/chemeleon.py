@@ -330,13 +330,14 @@ def run_sampler_scan(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
                             cond_scale, step_lr, fixed_types=fixed_types,
                             type_prior=type_prior)
 
+    unroll = max(1, int(getattr(cfg, "sampler_scan_unroll", 1)))
     if not record_traj or stride <= 1:
         def body(carry, t):
             nxt = step(carry, t)
             ys = ((nxt.atom_types, nxt.frac_coords, nxt.lattices)
                   if record_traj else None)
             return nxt, ys
-        return jax.lax.scan(body, state, ts)
+        return jax.lax.scan(body, state, ts, unroll=unroll)
 
     n = ts.shape[0]
     if n % stride != 0:
@@ -345,7 +346,8 @@ def run_sampler_scan(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
             f"steps ({n})")
 
     def chunk_body(carry, t_chunk):
-        nxt, _ = jax.lax.scan(lambda c, t: (step(c, t), None), carry, t_chunk)
+        nxt, _ = jax.lax.scan(lambda c, t: (step(c, t), None), carry, t_chunk,
+                              unroll=unroll)
         return nxt, (nxt.atom_types, nxt.frac_coords, nxt.lattices)
 
     return jax.lax.scan(chunk_body, state, ts.reshape(n // stride, stride))

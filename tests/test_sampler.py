@@ -277,3 +277,19 @@ def test_comp_prior_length_validation(model):
     with pytest.raises(ValueError, match="same number"):
         model.sample_batch([2, 2], ["A", "B"], comp_prior=["TiO2"],
                            key=jax.random.PRNGKey(0))
+
+
+def test_scan_unroll_identical_numerics(model):
+    """sampler_scan_unroll replicates the step body; per-step math and order
+    are unchanged, so samples must be bitwise-identical to unroll=1."""
+    from chemeleon_tpu.config import get_config
+    cfg2 = get_config(None, sampler_scan_unroll=4, **TINY)
+    m2 = Chemeleon(cfg2, text_backend="hash")
+    m2.params = model.params
+    key = jax.random.PRNGKey(21)
+    a = model.sample("TiO2", 6, 2, key=key)
+    b = m2.sample("TiO2", 6, 2, key=key)
+    for ca, cb in zip(a, b):
+        np.testing.assert_array_equal(ca.atom_types, cb.atom_types)
+        np.testing.assert_allclose(ca.frac_coords, cb.frac_coords)
+        np.testing.assert_allclose(ca.lattice, cb.lattice)
