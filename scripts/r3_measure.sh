@@ -1,0 +1,63 @@
+#!/bin/bash
+# Round-3 on-chip measurement queue. Each phase is one TPU process, run
+# serially (two concurrent TPU clients contend and wedge — CLAUDE.md).
+# Usage: bash scripts/r3_measure.sh <phase> [phase ...]
+#   wait   - block until the TPU tunnel answers (up to ~2 h)
+#   bench  - python bench.py -> /tmp/bench_r3.json
+#   probe  - comp-prior scale sweep -> results/comp_prior_rate.json
+#   ema    - retrain mp40_comp with EMA (600 epochs) under the supervisor
+#   unroll - N=40 bucket with sampler_scan_unroll=2 vs 1
+set -u
+cd "$(dirname "$0")/.."
+
+log() { echo "[r3_measure $(date +%H:%M:%S)] $*"; }
+
+phase_wait() {
+  for i in $(seq 1 60); do
+    if timeout 110 python -c "import jax; print(jax.devices())" 2>/dev/null; then
+      log "TPU is back (attempt $i)"; return 0
+    fi
+    log "TPU unavailable (attempt $i), sleeping 120s"; sleep 120
+  done
+  log "TPU never came back"; return 1
+}
+
+phase_bench() {
+  log "bench start"
+  timeout 3600 python bench.py > /tmp/bench_r3.json 2> /tmp/bench_r3.log
+  log "bench exit=$? json:"; cat /tmp/bench_r3.json
+}
+
+phase_probe() {
+  log "comp-prior probe start"
+  timeout 3600 python -m chemeleon_tpu.scripts.probe_comp_prior \
+    --model logs/mp40_comp/checkpoints/best \
+    --out results/comp_prior_rate.json > /tmp/probe_r3.log 2>&1
+  log "probe exit=$?"; tail -3 /tmp/probe_r3.log
+}
+
+phase_ema() {
+  log "EMA retrain start (mp40_comp recipe + ema_decay=0.999, 600 epochs)"
+  timeout 5400 python -m chemeleon_tpu.scripts.train_resilient --retries 3 \
+    --ckpt "logs/mp40_comp_ema/checkpoints/last" -- \
+    python -m chemeleon_tpu.scripts.smoke_train \
+      --exp-name mp40_comp_ema --preset chemeleon_composition \
+      --hidden 512 --layers 6 --batch 64 --lr 5e-4 --scheduler cosine \
+      --epochs 600 --ckpt-every 25 --ema-decay 0.999 \
+      --eval-rows 0 --eval-samples 0 > /tmp/ema_train.log 2>&1
+  log "ema train exit=$?"; tail -3 /tmp/ema_train.log
+}
+
+phase_unroll() {
+  log "scan-unroll experiment at N=40/B=32"
+  for u in 1 2; do
+    BENCH_MODE=single BENCH_NATOMS=40 BENCH_BATCH=32 BENCH_SCAN_UNROLL=$u \
+      timeout 2400 python bench.py > /tmp/unroll_$u.json 2>> /tmp/unroll.log
+    log "unroll=$u:"; cat /tmp/unroll_$u.json
+  done
+}
+
+for phase in "$@"; do
+  "phase_$phase" || log "phase $phase FAILED"
+done
+log "queue done"
