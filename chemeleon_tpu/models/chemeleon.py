@@ -555,12 +555,24 @@ class Chemeleon:
             if len(comp_prior) != len(natoms):
                 raise ValueError("comp_prior and natoms must have the same "
                                  "number of elements.")
+            # per-row scales let one coalesced batch mix requests with
+            # different guidance strengths (serve/server.py /generate)
+            scales = (list(comp_prior_scale)
+                      if isinstance(comp_prior_scale, (list, tuple))
+                      else [comp_prior_scale] * len(comp_prior))
+            if len(scales) != len(comp_prior):
+                raise ValueError("comp_prior_scale list must match "
+                                 "comp_prior length.")
             from chemeleon_tpu.chem.composition import composition_log_prior
             prior_np = np.zeros((B, cfg.max_atoms), np.float32)
-            rows = [i for i, c in enumerate(comp_prior) if c is not None]
+            rows = [i for i, c in enumerate(comp_prior)
+                    if c is not None and scales[i] != 0.0]
             if rows:
-                prior_np[rows] = comp_prior_scale * composition_log_prior(
-                    [comp_prior[i] for i in rows], cfg.max_atoms)
+                prior_np[rows] = (
+                    np.asarray([scales[i] for i in rows],
+                               np.float32)[:, None]
+                    * composition_log_prior([comp_prior[i] for i in rows],
+                                            cfg.max_atoms))
                 type_prior = jnp.asarray(prior_np)
 
         decoder_params = self.params["decoder"]

@@ -46,10 +46,17 @@ def predict(url: str, text_input: str, n_atoms: int, n_samples: int,
 
 
 def generate(url: str, text_input: str, n_atoms: int, n_samples: int,
-             timeout: float = 600.0) -> List[Crystal]:
-    """POST /generate (non-streaming; server-side dynamic batching)."""
-    body = json.dumps({"text_input": text_input, "n_atoms": n_atoms,
-                       "n_samples": n_samples}).encode()
+             timeout: float = 600.0, comp_prior: str = None,
+             comp_prior_scale: float = 1.0) -> List[Crystal]:
+    """POST /generate (non-streaming; server-side dynamic batching).
+    ``comp_prior`` requests composition-prior guided sampling for this
+    request only (requests with different priors/scales still coalesce)."""
+    payload = {"text_input": text_input, "n_atoms": n_atoms,
+               "n_samples": n_samples}
+    if comp_prior:
+        payload["comp_prior"] = comp_prior
+        payload["comp_prior_scale"] = comp_prior_scale
+    body = json.dumps(payload).encode()
     req = Request(url.rstrip("/") + "/generate", data=body,
                   headers={"Content-Type": "application/json"})
     with urlopen(req, timeout=timeout) as r:

@@ -43,10 +43,14 @@ def crystals_to_payload(crystals, step: Optional[int] = None) -> str:
 class _PendingRequest:
     """One /generate request waiting in the dynamic-batching queue."""
 
-    def __init__(self, n_samples: int, n_atoms: int, text: str):
+    def __init__(self, n_samples: int, n_atoms: int, text: str,
+                 comp_prior: Optional[str] = None,
+                 comp_prior_scale: float = 0.0):
         self.n_samples = n_samples
         self.n_atoms = n_atoms
         self.text = text
+        self.comp_prior = comp_prior
+        self.comp_prior_scale = comp_prior_scale
         self.event = threading.Event()
         self.result: Optional[List[Crystal]] = None
         self.error: Optional[str] = None
@@ -159,17 +163,27 @@ class ChemeleonServer:
             if not batch:
                 continue
             total = sum(r.n_samples for r in batch)
-            natoms, texts = [], []
+            natoms, texts, priors, scales = [], [], [], []
             for r in batch:
                 natoms.extend([r.n_atoms] * r.n_samples)
                 texts.extend([r.text] * r.n_samples)
+                priors.extend([r.comp_prior] * r.n_samples)
+                scales.extend([r.comp_prior_scale] * r.n_samples)
             # pad to the shape ladder with dummy rows (discarded below)
             for _ in range(self._quantize_batch(total) - total):
                 natoms.append(batch[0].n_atoms)
                 texts.append(batch[0].text)
+                priors.append(None)
+                scales.append(0.0)
             try:
                 with self._lock:
-                    crystals = self.model.sample_batch(natoms, texts)
+                    # per-row scales: one coalesced batch can mix guided and
+                    # unguided requests (None rows carry no bias)
+                    crystals = self.model.sample_batch(
+                        natoms, texts,
+                        comp_prior=(priors if any(p is not None
+                                                  for p in priors) else None),
+                        comp_prior_scale=scales)
                 self.batch_calls += 1
                 i = 0
                 for r in batch:
@@ -240,7 +254,10 @@ class ChemeleonServer:
     def generate(self, req: dict, timeout: float = 600.0) -> List[Crystal]:
         """Enqueue one request into the dynamic batch and wait for results."""
         pending = _PendingRequest(req["n_samples"], req["n_atoms"],
-                                  req["text_input"])
+                                  req["text_input"],
+                                  comp_prior=req.get("comp_prior"),
+                                  comp_prior_scale=req.get(
+                                      "comp_prior_scale", 0.0))
         with self._queue_guard:
             # check-and-enqueue is atomic vs shutdown(): either we enqueue
             # before the final drain (and get drained) or we observe _stop
@@ -268,11 +285,19 @@ class ChemeleonServer:
         if not 1 <= n_atoms <= max_atoms:
             raise ValueError(
                 f"n_atoms must be in [1, {max_atoms}], got {n_atoms}")
-        return {
+        req = {
             "n_samples": n_samples,
             "n_atoms": n_atoms,
             "text_input": body.get("text_input", ""),
         }
+        if body.get("comp_prior"):
+            # validate at decode time: a bad formula must 400 this request,
+            # not poison the whole coalesced device batch
+            from chemeleon_tpu.chem.composition import parse_composition
+            parse_composition(str(body["comp_prior"]))
+            req["comp_prior"] = str(body["comp_prior"])
+            req["comp_prior_scale"] = float(body.get("comp_prior_scale", 1.0))
+        return req
 
     def predict_stream(self, req: dict, timeout: float = 600.0):
         """Enqueue the stream into the coalescing collector and relay its

@@ -271,6 +271,55 @@ def test_server_batch_shape_ladder(model):
         server.shutdown()
 
 
+def test_server_generate_comp_prior(model):
+    """Per-request composition priors: guided and unguided requests coalesce
+    into ONE device batch, and a strong prior confines that request's
+    element set without touching the other request's rows."""
+    from concurrent.futures import ThreadPoolExecutor
+    from chemeleon_tpu.serve.client import generate
+    from chemeleon_tpu.serve.server import ChemeleonServer
+
+    port = _free_port()
+    server = ChemeleonServer(model=model, host="127.0.0.1", port=port,
+                             batch_window_s=1.0, max_batch=64)
+    server.run(background=True)
+    try:
+        url = f"http://127.0.0.1:{port}"
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            guided = ex.submit(generate, url, "NaCl", 4, 2, 600.0,
+                               "NaCl", 50.0)
+            free = ex.submit(generate, url, "XyzFree", 4, 2, 600.0)
+            g, f = guided.result(), free.result()
+        assert all(set(c.atom_types.tolist()) <= {11, 17} for c in g)
+        assert len(f) == 2
+        assert server.batch_calls == 1, server.batch_calls
+    finally:
+        server.shutdown()
+
+
+def test_server_rejects_bad_comp_prior(model):
+    """An unparseable comp_prior 400s at decode time instead of poisoning
+    the coalesced device batch."""
+    import urllib.error
+    import urllib.request
+    from chemeleon_tpu.serve.server import ChemeleonServer
+
+    port = _free_port()
+    server = ChemeleonServer(model=model, host="127.0.0.1", port=port)
+    server.run(background=True)
+    try:
+        body = json.dumps({"text_input": "x", "n_atoms": 4, "n_samples": 1,
+                           "comp_prior": "NotAFormula123!!"}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=60)
+        assert e.value.code == 400
+    finally:
+        server.shutdown()
+
+
 def test_visualizer(tmp_path, model):
     from chemeleon_tpu.visualize import Visualizer
     crystals = model.sample("TiO2", 4, 1, key=jax.random.PRNGKey(0))
