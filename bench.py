@@ -19,7 +19,7 @@ numbers from a random-init model say nothing about the "1000 *valid*
 structures" target, so validity is measured on a model that actually
 learned mp-40 structure.
 
-Env knobs: BENCH_MODE=mix|single|tune (default mix), BENCH_VALID=0 to skip
+Env knobs: BENCH_MODE=mix|single|tune|valid (default mix), BENCH_VALID=0 to skip
 the validity pass, and for single mode BENCH_BATCH / BENCH_NATOMS /
 BENCH_TIMESTEPS / BENCH_DTYPE / BENCH_EDGE. tune mode re-derives the
 per-bucket batch table on the current hardware (see run_tune).
@@ -349,6 +349,27 @@ def run_tune():
     }
 
 
+def run_valid():
+    """BENCH_MODE=valid: ONLY the validity pass (for comparing checkpoints
+    — e.g. EMA vs raw weights via BENCH_VALID_CKPT — without re-timing the
+    throughput mix)."""
+    valid_frac, valid_frac_relaxed, n, conditioning = _validity_pass()
+    return {
+        "metric": "valid_frac",
+        "value": round(valid_frac, 4),
+        "unit": "fraction",
+        "vs_baseline": None,
+        "detail": {
+            "checkpoint": str(SMOKE_CKPT),
+            "n_samples": n,
+            "stderr": round(float(np.sqrt(valid_frac * (1 - valid_frac)
+                                          / max(n, 1))), 4),
+            "valid_frac_relaxed": round(valid_frac_relaxed, 4),
+            "conditioning": conditioning,
+        },
+    }
+
+
 def main():
     _enable_compilation_cache()
     mode = os.environ.get("BENCH_MODE", "mix")
@@ -356,6 +377,8 @@ def main():
         result = run_mix()
     elif mode == "tune":
         result = run_tune()
+    elif mode == "valid":
+        result = run_valid()
     else:
         result = run_single()
     print(json.dumps(result))
