@@ -34,14 +34,31 @@ def load_model():
     return Chemeleon.load_general_text_model()
 
 
-def generate_local(text, n_atoms, n_samples, progress):
+def generate_local(text, n_atoms, n_samples, progress,
+                   comp=None, comp_mode="off", comp_scale=1.0):
     model = load_model()
     total = model.cfg.timesteps
     chunk = SNAPSHOT_EVERY if total % SNAPSHOT_EVERY == 0 else 1
+    kw = {}
+    if comp and comp_mode == "CSP (clamp types)":
+        from chemeleon_tpu.chem.composition import parse_composition
+        from chemeleon_tpu.chem.elements import z_of
+        types = []
+        for el, cnt in sorted(parse_composition(comp).items()):
+            types += [z_of(el)] * int(round(cnt))
+        reps = max(1, n_atoms // len(types))
+        types = types * reps
+        n_atoms = len(types)
+        kw["fixed_types"] = [types] * n_samples
+    elif comp and comp_mode == "prior (bias types)":
+        kw["comp_prior"] = [comp] * n_samples
+        kw["comp_prior_scale"] = comp_scale
     snapshots = []
     done = 0
-    for crystals in model.sample(text, n_atoms, n_samples, stream=True,
-                                 stream_chunk=chunk):
+    for crystals in model.sample_batch_stream(
+            [n_atoms] * n_samples,
+            [text] * n_samples if model.cfg.text_guide else None,
+            stream_chunk=chunk, **kw):
         done += chunk
         progress.progress(done / total)
         snapshots.append(crystals)
@@ -73,6 +90,14 @@ def main():
                             "orthorhombic symmetry")
         n_atoms = st.slider("Number of atoms", 1, 20, 6)
         n_samples = st.slider("Number of samples", 1, 5, 3)
+        comp = st.text_input("Target composition (optional)", "")
+        comp_mode = st.radio("Composition mode",
+                             ["off", "prior (bias types)",
+                              "CSP (clamp types)"],
+                             horizontal=False,
+                             disabled=not comp) if comp else "off"
+        comp_scale = (st.slider("Prior strength", 0.5, 8.0, 2.0, 0.5)
+                      if comp and comp_mode == "prior (bias types)" else 1.0)
         run = st.button("Generate")
 
     if not run:
@@ -82,9 +107,14 @@ def main():
     progress = st.progress(0.0)
     with st.spinner("Sampling..."):
         if SERVER_URL:
+            # the streaming wire protocol carries no composition knobs;
+            # remote composition modes go through /generate instead
             snapshots = generate_remote(text, n_atoms, n_samples, progress)
         else:
-            snapshots = generate_local(text, n_atoms, n_samples, progress)
+            snapshots = generate_local(text, n_atoms, n_samples, progress,
+                                       comp=comp or None,
+                                       comp_mode=comp_mode,
+                                       comp_scale=comp_scale)
     if not snapshots:
         st.error("Generation failed: the server returned no structures.")
         return

@@ -510,37 +510,12 @@ class Chemeleon:
             arr[i, :n] = types
         return jnp.asarray(arr)
 
-    def sample_batch(self, natoms: List[int],
-                     texts: Optional[List[str]] = None,
-                     cond_scale: float = 2.0, step_lr: float = 1e-5,
-                     key: Optional[jax.Array] = None,
-                     return_trajectory: bool = False,
-                     n_max: Optional[int] = None,
-                     mesh=None, fixed_types=None,
-                     comp_prior: Optional[List[Optional[str]]] = None,
-                     comp_prior_scale: float = 1.0):
-        """Batched sampling API (heals the reference's API skew — SURVEY §3.5:
-        evaluate.py/dash_app.py call an older (natoms, texts) signature).
-
-        ``mesh``: optional jax.sharding.Mesh — shards the batch over the
-        data axis for multi-chip inference (params replicated; one compiled
-        program, bitwise-equal to single-device per
-        test_sharded_sampling_matches_single_device). len(natoms) must be
-        divisible by the data-axis size.
-
-        ``fixed_types``: optional per-structure atomic-number sequences
-        (len == natoms[i]) switching to CSP mode — types clamped, only
-        geometry diffuses (see sampler_step).
-
-        ``comp_prior``: optional per-structure composition strings (None
-        entries = unbiased row) for composition-prior guided sampling —
-        ``comp_prior_scale`` * log-fraction bias added to the predicted x0
-        type logits each step (see sampler_step). Mutually exclusive with
-        ``fixed_types``; scale 0.0 reproduces unbiased sampling exactly."""
+    def _prepare_type_conditioning(self, natoms: List[int], B: int, N: int,
+                                   fixed_types, comp_prior,
+                                   comp_prior_scale):
+        """Validate + build the (ftypes, type_prior) pair shared by the
+        batched and streaming samplers (see sample_batch docstring)."""
         cfg = self.cfg
-        batch0, text_embeds, null_embeds, key = \
-            self._prepare_sampling_inputs(natoms, texts, key, n_max)
-        B, N = batch0.atom_types.shape
         ftypes = None
         if fixed_types is not None:
             if comp_prior is not None:
@@ -574,6 +549,41 @@ class Chemeleon:
                     * composition_log_prior([comp_prior[i] for i in rows],
                                             cfg.max_atoms))
                 type_prior = jnp.asarray(prior_np)
+        return ftypes, type_prior
+
+    def sample_batch(self, natoms: List[int],
+                     texts: Optional[List[str]] = None,
+                     cond_scale: float = 2.0, step_lr: float = 1e-5,
+                     key: Optional[jax.Array] = None,
+                     return_trajectory: bool = False,
+                     n_max: Optional[int] = None,
+                     mesh=None, fixed_types=None,
+                     comp_prior: Optional[List[Optional[str]]] = None,
+                     comp_prior_scale: float = 1.0):
+        """Batched sampling API (heals the reference's API skew — SURVEY §3.5:
+        evaluate.py/dash_app.py call an older (natoms, texts) signature).
+
+        ``mesh``: optional jax.sharding.Mesh — shards the batch over the
+        data axis for multi-chip inference (params replicated; one compiled
+        program, bitwise-equal to single-device per
+        test_sharded_sampling_matches_single_device). len(natoms) must be
+        divisible by the data-axis size.
+
+        ``fixed_types``: optional per-structure atomic-number sequences
+        (len == natoms[i]) switching to CSP mode — types clamped, only
+        geometry diffuses (see sampler_step).
+
+        ``comp_prior``: optional per-structure composition strings (None
+        entries = unbiased row) for composition-prior guided sampling —
+        ``comp_prior_scale`` * log-fraction bias added to the predicted x0
+        type logits each step (see sampler_step). Mutually exclusive with
+        ``fixed_types``; scale 0.0 reproduces unbiased sampling exactly."""
+        cfg = self.cfg
+        batch0, text_embeds, null_embeds, key = \
+            self._prepare_sampling_inputs(natoms, texts, key, n_max)
+        B, N = batch0.atom_types.shape
+        ftypes, type_prior = self._prepare_type_conditioning(
+            natoms, B, N, fixed_types, comp_prior, comp_prior_scale)
 
         decoder_params = self.params["decoder"]
         batch_natoms = batch0.natoms
@@ -705,17 +715,23 @@ class Chemeleon:
                             texts: Optional[List[str]] = None,
                             cond_scale: float = 2.0, step_lr: float = 1e-5,
                             key: Optional[jax.Array] = None,
-                            stream_chunk: int = 100):
+                            stream_chunk: int = 100,
+                            fixed_types=None, comp_prior=None,
+                            comp_prior_scale: float = 1.0):
         """Batched streaming: one compiled chunked scan over a MIXED batch,
         yielding the whole batch's crystals every ``stream_chunk`` steps.
         This is what lets a server coalesce N concurrent streams into one
         device program instead of N serialized scans (the reference scales
-        streams with workers_per_device=4 instead, app/server.py:55-58)."""
+        streams with workers_per_device=4 instead, app/server.py:55-58).
+        ``fixed_types``/``comp_prior`` as in sample_batch."""
         return self._sample_stream(natoms, texts, cond_scale, step_lr, key,
-                                   stream_chunk)
+                                   stream_chunk, fixed_types=fixed_types,
+                                   comp_prior=comp_prior,
+                                   comp_prior_scale=comp_prior_scale)
 
     def _sample_stream(self, natoms, texts, cond_scale, step_lr, key,
-                       chunk: int):
+                       chunk: int, fixed_types=None, comp_prior=None,
+                       comp_prior_scale: float = 1.0):
         """Generator yielding crystals every ``chunk`` steps via chunked scans
         (the jit-compatible analog of the reference's per-step streaming,
         chemeleon.py:379-467 / app/server.py:22-47)."""
@@ -725,15 +741,21 @@ class Chemeleon:
         batch0, text_embeds, null_embeds, key = \
             self._prepare_sampling_inputs(natoms, texts, key)
         B, N = batch0.atom_types.shape
+        ftypes, type_prior = self._prepare_type_conditioning(
+            natoms, B, N, fixed_types, comp_prior, comp_prior_scale)
 
-        run = self._get_compiled_sampler(B, N, False, chunk)
-        state, _ = init_sampler_state(key, batch0.natoms, N)
+        run = self._get_compiled_sampler(B, N, False, chunk,
+                                         csp=ftypes is not None,
+                                         prior=type_prior is not None)
+        state, _ = init_sampler_state(key, batch0.natoms, N,
+                                      fixed_types=ftypes)
         natoms_np = np.asarray(batch0.natoms)
         for start in range(cfg.timesteps, 0, -chunk):
             ts = jnp.arange(start, start - chunk, -1)
             state, _ = run(self.params["decoder"], batch0.natoms, text_embeds,
                            null_embeds, key, cond_scale, step_lr, ts,
-                           state_in=state)
+                           state_in=state, fixed_types=ftypes,
+                           type_prior=type_prior)
             step = TrajectoryStep(natoms=natoms_np,
                                   atom_types=np.asarray(state.atom_types),
                                   frac_coords=np.asarray(state.frac_coords),

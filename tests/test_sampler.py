@@ -293,3 +293,26 @@ def test_scan_unroll_identical_numerics(model):
         np.testing.assert_array_equal(ca.atom_types, cb.atom_types)
         np.testing.assert_allclose(ca.frac_coords, cb.frac_coords)
         np.testing.assert_allclose(ca.lattice, cb.lattice)
+
+
+def test_stream_matches_batch_with_type_conditioning(model):
+    """CSP and comp-prior modes stream identically to the batched path."""
+    key = jax.random.PRNGKey(31)
+    types = [22, 8, 8, 22, 8, 8]
+    b = model.sample_batch([6], ["TiO2"], fixed_types=[types], key=key)
+    chunks = list(model.sample_batch_stream([6], ["TiO2"],
+                                            fixed_types=[types], key=key,
+                                            stream_chunk=5))
+    sb, ss = b[0], chunks[-1][0]
+    np.testing.assert_array_equal(sb.atom_types, ss.atom_types)
+    np.testing.assert_allclose(sb.frac_coords, ss.frac_coords, atol=1e-6)
+
+    b2 = model.sample_batch([6], ["TiO2"], comp_prior=["TiO2"],
+                            comp_prior_scale=3.0, key=key)
+    chunks2 = list(model.sample_batch_stream([6], ["TiO2"],
+                                             comp_prior=["TiO2"],
+                                             comp_prior_scale=3.0, key=key,
+                                             stream_chunk=5))
+    sb2, ss2 = b2[0], chunks2[-1][0]
+    np.testing.assert_array_equal(sb2.atom_types, ss2.atom_types)
+    np.testing.assert_allclose(sb2.frac_coords, ss2.frac_coords, atol=1e-6)
