@@ -106,9 +106,19 @@ def main():
 
     progress = st.progress(0.0)
     with st.spinner("Sampling..."):
-        if SERVER_URL:
-            # the streaming wire protocol carries no composition knobs;
-            # remote composition modes go through /generate instead
+        if SERVER_URL and comp and comp_mode == "prior (bias types)":
+            # /generate carries per-request priors (non-streaming: one
+            # final snapshot, no per-step progress)
+            from chemeleon_tpu.serve.client import generate
+            snapshots = [generate(SERVER_URL, text, n_atoms, n_samples,
+                                  comp_prior=comp,
+                                  comp_prior_scale=comp_scale)]
+            progress.progress(1.0)
+        elif SERVER_URL:
+            # the streaming wire protocol carries no composition knobs
+            if comp and comp_mode != "off":
+                st.warning("CSP mode is local-only; streaming remote "
+                           "generation ignores the composition box.")
             snapshots = generate_remote(text, n_atoms, n_samples, progress)
         else:
             snapshots = generate_local(text, n_atoms, n_samples, progress,
