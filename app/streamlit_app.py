@@ -41,13 +41,15 @@ def generate_local(text, n_atoms, n_samples, progress,
     chunk = SNAPSHOT_EVERY if total % SNAPSHOT_EVERY == 0 else 1
     kw = {}
     if comp and comp_mode == "CSP (clamp types)":
-        from chemeleon_tpu.chem.composition import parse_composition
+        # integer-reduce exactly like sample_csp (fractional formulas would
+        # otherwise round elements away); Z chosen to fill up to n_atoms
+        from chemeleon_tpu.chem.composition import (parse_composition,
+                                                    reduced_composition)
         from chemeleon_tpu.chem.elements import z_of
-        types = []
-        for el, cnt in sorted(parse_composition(comp).items()):
-            types += [z_of(el)] * int(round(cnt))
-        reps = max(1, n_atoms // len(types))
-        types = types * reps
+        red = reduced_composition(parse_composition(comp))
+        unit = [z_of(el) for el, cnt in sorted(red.items())
+                for _ in range(int(cnt))]
+        types = unit * max(1, n_atoms // len(unit))
         n_atoms = len(types)
         kw["fixed_types"] = [types] * n_samples
     elif comp and comp_mode == "prior (bias types)":
@@ -93,9 +95,7 @@ def main():
         comp = st.text_input("Target composition (optional)", "")
         comp_mode = st.radio("Composition mode",
                              ["off", "prior (bias types)",
-                              "CSP (clamp types)"],
-                             horizontal=False,
-                             disabled=not comp) if comp else "off"
+                              "CSP (clamp types)"]) if comp else "off"
         comp_scale = (st.slider("Prior strength", 0.5, 8.0, 2.0, 0.5)
                       if comp and comp_mode == "prior (bias types)" else 1.0)
         run = st.button("Generate")

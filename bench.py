@@ -66,9 +66,16 @@ _CKPT_CANDIDATES = [
     Path(__file__).parent / "logs" / "mp40_smoke" / "checkpoints" / "best",
 ]
 if os.environ.get("BENCH_VALID_CKPT"):  # probe a specific checkpoint
-    _CKPT_CANDIDATES.insert(0, Path(os.environ["BENCH_VALID_CKPT"]))
-SMOKE_CKPT = next((p for p in _CKPT_CANDIDATES if p.exists()),
-                  _CKPT_CANDIDATES[0])
+    SMOKE_CKPT = Path(os.environ["BENCH_VALID_CKPT"])
+    if not SMOKE_CKPT.exists():
+        # a typo'd override must error, not silently measure the default
+        raise FileNotFoundError(f"BENCH_VALID_CKPT={SMOKE_CKPT} not found")
+else:
+    SMOKE_CKPT = next((p for p in _CKPT_CANDIDATES if p.exists()),
+                      _CKPT_CANDIDATES[0])
+# BENCH_VALID_EMA=1 restores the params_ema tree of the chosen checkpoint
+# (requires an ema_decay > 0 training run) — the raw-vs-EMA comparison knob
+BENCH_VALID_EMA = os.environ.get("BENCH_VALID_EMA") == "1"
 
 
 def _enable_compilation_cache():
@@ -130,7 +137,8 @@ def _validity_pass():
     from chemeleon_tpu.chem.validity import structure_validity
     from chemeleon_tpu.models.chemeleon import Chemeleon
 
-    model = Chemeleon.load_from_checkpoint(str(SMOKE_CKPT))
+    model = Chemeleon.load_from_checkpoint(str(SMOKE_CKPT),
+                                           use_ema=BENCH_VALID_EMA)
     csv.field_size_limit(10 ** 9)
     with open(Path(__file__).parent / "data" / "mp-40" / "test.csv") as f:
         raw_rows = list(csv.DictReader(f))
@@ -361,6 +369,7 @@ def run_valid():
         "vs_baseline": None,
         "detail": {
             "checkpoint": str(SMOKE_CKPT),
+            "ema": BENCH_VALID_EMA,
             "n_samples": n,
             "stderr": round(float(np.sqrt(valid_frac * (1 - valid_frac)
                                           / max(n, 1))), 4),

@@ -98,7 +98,10 @@ def _packed_generate(model, parsed, n_samples, cond_scale, key,
         cache_dir = Path(cache_dir)
         cache_dir.mkdir(parents=True, exist_ok=True)
     # protocol-variant tag: a cache written under one conditioning mode must
-    # not be served to another (csp / prior-guided runs vs the same save_path)
+    # not be served to another (csp / prior-guided runs vs the same
+    # save_path). Free generation keeps the untagged name so the 14k-chunk
+    # full-protocol cache written before tagging (free mode only — no
+    # pre-tag csp/prior cache ever existed) stays valid.
     tag = ("_csp" if csp else
            f"_prior{comp_prior_scale:g}" if comp_prior_scale > 0 else "")
     for bucket, idxs in sorted(by_bucket.items()):
@@ -160,6 +163,10 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
     SAME test_data/n_samples/seed — chunks are keyed by position). Returns
     the mean metrics dict; writes results.csv under save_path.
     """
+    if csp and comp_prior_scale > 0:
+        raise ValueError("csp and comp_prior_scale are mutually exclusive: "
+                         "CSP clamps atom types, so a type prior has no "
+                         "effect (same rule as sample_batch)")
     csv.field_size_limit(10 ** 9)
     path = Path(test_data)
     if not path.exists():

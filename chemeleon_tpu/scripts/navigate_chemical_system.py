@@ -52,6 +52,10 @@ def navigate_chemical_system(elements: List[str] = ("Zn", "Ti", "O"),
     both modes raise its yield rather than change its semantics."""
     from chemeleon_tpu.models.chemeleon import Chemeleon
 
+    if csp and comp_prior_scale > 0:
+        raise ValueError("csp and comp_prior_scale are mutually exclusive: "
+                         "CSP clamps atom types, so a type prior has no "
+                         "effect (same rule as sample_batch)")
     if model is None:
         model = Chemeleon.load_composition_model()
     print(f"Text targets: {model.cfg.text_targets}")

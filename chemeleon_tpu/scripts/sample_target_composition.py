@@ -36,6 +36,10 @@ def sample_target_composition(target_composition: str = "TiO2",
     clamp."""
     from chemeleon_tpu.models.chemeleon import Chemeleon
 
+    if csp and comp_prior_scale > 0:
+        raise ValueError("csp and comp_prior_scale are mutually exclusive: "
+                         "CSP clamps atom types, so a type prior has no "
+                         "effect (same rule as sample_batch)")
     if model is None:
         model = Chemeleon.load_composition_model()
     print(f"Text targets: {model.cfg.text_targets}")

@@ -70,6 +70,9 @@ def main() -> None:
                          "every checkpoint; val/loss_ema logged)")
     ap.add_argument("--resume-from", default=None,
                     help="checkpoint dir to resume from")
+    ap.add_argument("--watchdog", type=float, default=0.0,
+                    help="hang-watchdog timeout in seconds (0 = off); pair "
+                         "with train_resilient --resume-flag --resume-from=")
     args = ap.parse_args()
 
     if not (Path(args.data_dir) / "train.csv").exists():
@@ -85,7 +88,7 @@ def main() -> None:
         time_dim=64, text_dim=128, text_embed_dim=128, batch_size=args.batch,
         lr=args.lr, scheduler=args.scheduler, early_stopping=10 ** 6,
         checkpoint_every_n_epochs=args.ckpt_every, max_epochs=args.epochs,
-        ema_decay=args.ema_decay)
+        ema_decay=args.ema_decay, watchdog_timeout_s=args.watchdog)
     trainer = Trainer(cfg, text_backend=args.text_backend)
     result = trainer.fit(resume_from=args.resume_from)
     losses = [h["val/loss"] for h in result["history"]]

@@ -30,15 +30,21 @@ from chemeleon_tpu.utils.watchdog import EXIT_CODE
 
 
 def supervise(cmd, ckpt, retries: int = 3,
-              also_retry_on=frozenset(), runner=subprocess.call) -> int:
+              also_retry_on=frozenset(), runner=subprocess.call,
+              resume_flag: str = "resume_from=") -> int:
     """Run ``cmd``; on watchdog exit (or codes in ``also_retry_on``),
-    relaunch with ``resume_from=<ckpt>`` appended, up to ``retries`` times.
-    Returns the final exit code."""
+    relaunch with ``<resume_flag><ckpt>`` appended, up to ``retries`` times.
+    Returns the final exit code.
+
+    ``resume_flag`` matches the trainee's CLI: the default key=value form is
+    run.py's syntax; pass ``--resume-from=`` for argparse-style scripts
+    (smoke_train) — an appended key=value token would make argparse exit 2
+    and the supervisor would never actually resume."""
     retry_codes = {EXIT_CODE} | set(also_retry_on)
     attempt = 0
     while True:
         code = runner(list(cmd) if attempt == 0 or not Path(ckpt).exists()
-                      else list(cmd) + [f"resume_from={ckpt}"])
+                      else list(cmd) + [f"{resume_flag}{ckpt}"])
         if code not in retry_codes or attempt >= retries:
             return code
         attempt += 1
@@ -58,13 +64,18 @@ def main(argv=None) -> int:
     ap.add_argument("--retry-on", type=int, nargs="*", default=[],
                     help="additional exit codes to treat as retryable "
                          "(e.g. 1 to also retry hard device crashes)")
+    ap.add_argument("--resume-flag", default="resume_from=",
+                    help="token prefix for the appended resume argument: "
+                         "the default fits run.py's key=value CLI; use "
+                         "'--resume-from=' for smoke_train-style argparse")
     args, cmd = ap.parse_known_args(argv)
     if cmd and cmd[0] == "--":
         cmd = cmd[1:]
     if not cmd:
         ap.error("no training command given after --")
     return supervise(cmd, args.ckpt, retries=args.retries,
-                     also_retry_on=frozenset(args.retry_on))
+                     also_retry_on=frozenset(args.retry_on),
+                     resume_flag=args.resume_flag)
 
 
 if __name__ == "__main__":

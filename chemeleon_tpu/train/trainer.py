@@ -297,7 +297,8 @@ class Trainer:
                         self.save_checkpoint("best_validity", params,
                                              opt_state, epoch, global_step,
                                              val_loss,
-                                             extra_meta={"validity": frac})
+                                             extra_meta={"validity": frac},
+                                             ema_params=ema_params)
                 val_metrics["epoch"] = epoch
                 val_metrics["epoch_time"] = time.time() - t0
                 self.logger.log(val_metrics, global_step)

@@ -39,11 +39,12 @@ phase_probe() {
 phase_ema() {
   log "EMA retrain start (mp40_comp recipe + ema_decay=0.999, 600 epochs)"
   timeout 5400 python -m chemeleon_tpu.scripts.train_resilient --retries 3 \
-    --ckpt "logs/mp40_comp_ema/checkpoints/last" -- \
+    --ckpt "logs/mp40_comp_ema/checkpoints/last" \
+    --resume-flag "--resume-from=" -- \
     python -m chemeleon_tpu.scripts.smoke_train \
       --exp-name mp40_comp_ema --preset chemeleon_composition \
       --hidden 512 --layers 6 --batch 64 --lr 5e-4 --scheduler cosine \
-      --epochs 600 --ckpt-every 25 --ema-decay 0.999 \
+      --epochs 600 --ckpt-every 25 --ema-decay 0.999 --watchdog 900 \
       --eval-rows 0 --eval-samples 0 > /tmp/ema_train.log 2>&1
   log "ema train exit=$?"; tail -3 /tmp/ema_train.log
 }

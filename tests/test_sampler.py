@@ -316,3 +316,23 @@ def test_stream_matches_batch_with_type_conditioning(model):
     sb2, ss2 = b2[0], chunks2[-1][0]
     np.testing.assert_array_equal(sb2.atom_types, ss2.atom_types)
     np.testing.assert_allclose(sb2.frac_coords, ss2.frac_coords, atol=1e-6)
+
+
+def test_csp_prior_conflict_raises_everywhere(model):
+    """The csp + comp-prior conflict raises one consistent error at every
+    entry point instead of silently preferring one mode."""
+    from chemeleon_tpu.eval.evaluate import test_evaluate
+    from chemeleon_tpu.scripts.navigate_chemical_system import (
+        navigate_chemical_system,
+    )
+    from chemeleon_tpu.scripts.sample_target_composition import (
+        sample_target_composition,
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        test_evaluate(model, csp=True, comp_prior_scale=1.0)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sample_target_composition("TiO2", model=model, csp=True,
+                                  comp_prior_scale=1.0)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        navigate_chemical_system(["Na", "Cl"], model=model, csp=True,
+                                 comp_prior_scale=1.0)

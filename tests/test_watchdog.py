@@ -125,3 +125,20 @@ def test_trainer_fit_with_watchdog_enabled(data_dir, tmp_path):
     tr = Trainer(cfg, text_backend="hash")
     out = tr.fit(max_epochs=1)
     assert out["epochs"] == 1
+
+
+def test_supervisor_resume_flag_for_argparse_trainees(tmp_path):
+    """--resume-flag '--resume-from=' matches smoke_train's argparse CLI
+    (the default key=value token would exit 2 there and never resume)."""
+    ckpt = tmp_path / "last"
+    ckpt.mkdir()
+    calls = []
+
+    def fake_runner(cmd):
+        calls.append(cmd)
+        return EXIT_CODE if len(calls) < 2 else 0
+
+    code = supervise(["smoke_train"], str(ckpt), retries=2,
+                     runner=fake_runner, resume_flag="--resume-from=")
+    assert code == 0
+    assert calls[1] == ["smoke_train", f"--resume-from={ckpt}"]
