@@ -49,6 +49,25 @@ phase_ema() {
   log "ema train exit=$?"; tail -3 /tmp/ema_train.log
 }
 
+phase_prioreval() {
+  # full reference protocol (20 samples/row) on the 56 HELD-OUT rows with
+  # composition-prior guidance at the probe's best scale
+  local scale
+  scale=$(python - <<'PY'
+import json
+d = json.load(open("results/comp_prior_rate.json"))["by_scale"]
+print(max(d, key=lambda k: d[k]["exact_mean"]))
+PY
+)
+  log "prior-guided held-out eval at scale=$scale"
+  timeout 3600 python -m chemeleon_tpu.cli evaluate \
+    -m logs/mp40_comp/checkpoints/best \
+    --test-data .data_cache/mp40-smoke/test.csv --n-samples 20 \
+    --comp-prior-scale "$scale" --cache-generation \
+    --save-path results/mp40_comp_prior_eval > /tmp/prioreval.log 2>&1
+  log "prioreval exit=$?"; tail -5 /tmp/prioreval.log
+}
+
 phase_unroll() {
   log "scan-unroll experiment at N=40/B=32"
   for u in 1 2; do
