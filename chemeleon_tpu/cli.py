@@ -3,6 +3,8 @@ flags: ``chemeleon navigate system``, ``chemeleon sample composition``,
 ``chemeleon sample prompt``, plus TPU-build extras ``chemeleon evaluate`` and
 ``chemeleon bench``."""
 
+import json
+
 import click
 
 from chemeleon_tpu.scripts.navigate_chemical_system import navigate_chemical_system
@@ -163,6 +165,33 @@ def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
                   max_rows=max_rows, csp=csp, pack_rows=pack_rows,
                   cache_generation=cache_generation,
                   comp_prior_scale=comp_prior_scale)
+
+
+@cli.command(name="warmup",
+             help="Precompile sampler shapes into the persistent XLA "
+                  "compilation cache (moves 20-60s first-shape compiles out "
+                  "of serving cold-starts).")
+@click.option("--model-path", "-m", required=True)
+@click.option("--buckets", default=None,
+              help="Comma-separated padding buckets; default = the "
+                   "checkpoint config's pad_buckets.")
+@click.option("--batches", default=None,
+              help="Comma-separated batch sizes; default = the 1..64 "
+                   "power-of-two ladder the server's dynamic batching uses.")
+@click.option("--stream-chunk", default=None, type=int,
+              help="Also warm the chunked streaming program (/predict).")
+def cli_warmup(model_path, buckets, batches, stream_chunk):
+    from chemeleon_tpu.models.chemeleon import Chemeleon
+
+    model = Chemeleon.load_from_checkpoint(model_path)
+    timings = model.warmup(
+        batch_sizes=[int(x) for x in batches.split(",")] if batches else None,
+        buckets=[int(x) for x in buckets.split(",")] if buckets else None,
+        stream_chunk=stream_chunk)
+    for t in timings:
+        click.echo(json.dumps(t))
+    click.echo(f"warmed {len(timings)} programs in "
+               f"{sum(t['seconds'] for t in timings):.1f}s")
 
 
 @cli.command(name="bench", help="Run the sampling throughput benchmark.")

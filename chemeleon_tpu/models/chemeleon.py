@@ -25,6 +25,7 @@ TPU-first design (vs the reference's Python loop, SURVEY §3.1):
 from __future__ import annotations
 
 import functools
+import time
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple, Union
 
 import jax
@@ -647,6 +648,46 @@ class Chemeleon:
                               frac_coords=np.asarray(final.frac_coords),
                               lattices=np.asarray(final.lattices))
         return step.get_crystals()
+
+    def warmup(self, batch_sizes: Optional[List[int]] = None,
+               buckets: Optional[List[int]] = None,
+               stream_chunk: Optional[int] = None) -> List[dict]:
+        """Precompile sampler programs for a (batch, bucket) grid.
+
+        Every novel shape costs a fresh XLA compile (20-60 s through the TPU
+        tunnel); with the persistent compilation cache enabled (it is, by
+        default) one warmup run moves that cost out of serving cold-starts
+        and first requests. Returns [{batch, bucket, seconds}] per program.
+        ``stream_chunk`` additionally warms the chunked streaming program
+        used by /predict coalescing."""
+        if self.params is None:
+            raise RuntimeError("call init_params() or load a checkpoint "
+                               "before warmup")
+        cfg = self.cfg
+        buckets = list(buckets if buckets is not None else cfg.pad_buckets)
+        if batch_sizes is None:
+            batch_sizes = [2 ** i for i in range(0, 7)]  # 1..64 ladder
+        timings = []
+        ts = jnp.arange(cfg.timesteps, 0, -1)
+        for n in buckets:
+            for B in batch_sizes:
+                for chunk in ({None, stream_chunk} if stream_chunk
+                              else {None}):
+                    t0 = time.perf_counter()
+                    run = self._get_compiled_sampler(B, n, False, chunk)
+                    natoms = jnp.full((B,), n, jnp.int32)
+                    text = jnp.zeros((B, max(cfg.text_dim, 1)))
+                    tsc = (ts if chunk is None
+                           else jnp.arange(cfg.timesteps,
+                                           cfg.timesteps - chunk, -1))
+                    run.lower(self.params["decoder"], natoms, text, text,
+                              jax.random.PRNGKey(0), 2.0, 1e-5,
+                              tsc).compile()
+                    timings.append({"batch": B, "bucket": n,
+                                    "stream_chunk": chunk,
+                                    "seconds": round(
+                                        time.perf_counter() - t0, 2)})
+        return timings
 
     def sampler_cost_analysis(self, natoms: List[int],
                               texts: Optional[List[str]] = None,

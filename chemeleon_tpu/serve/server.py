@@ -400,7 +400,22 @@ class ChemeleonServer:
 
         return Handler
 
-    def run(self, background: bool = False):
+    def run(self, background: bool = False, warmup: bool = False):
+        if warmup:
+            # precompile the dynamic-batching shape grid before accepting
+            # traffic: every ladder batch x bucket is otherwise a 20-60 s
+            # XLA compile paid by the first unlucky request
+            ladder, b = [], 1
+            while b <= self.max_batch:
+                ladder.append(b)
+                b *= 2
+            chunk = self.stream_chunk
+            if self.model.cfg.timesteps % chunk != 0:
+                chunk = 1
+            timings = self.model.warmup(batch_sizes=ladder,
+                                        stream_chunk=chunk)
+            print(f"warmup: {len(timings)} programs, "
+                  f"{sum(t['seconds'] for t in timings):.1f}s")
         self._httpd = ThreadingHTTPServer((self.host, self.port),
                                           self.make_handler())
         self._stop.clear()
@@ -457,10 +472,13 @@ def main():
     ap.add_argument("--stream-chunk", type=int, default=100)
     ap.add_argument("--model-kind", default="general_text",
                     choices=["general_text", "composition"])
+    ap.add_argument("--warmup", action="store_true",
+                    help="precompile the dynamic-batching shape grid before "
+                         "accepting traffic")
     args = ap.parse_args()
     ChemeleonServer(host=args.host, port=args.port,
                     stream_chunk=args.stream_chunk,
-                    model_kind=args.model_kind).run()
+                    model_kind=args.model_kind).run(warmup=args.warmup)
 
 
 if __name__ == "__main__":

@@ -336,3 +336,16 @@ def test_csp_prior_conflict_raises_everywhere(model):
     with pytest.raises(ValueError, match="mutually exclusive"):
         navigate_chemical_system(["Na", "Cl"], model=model, csp=True,
                                  comp_prior_scale=1.0)
+
+
+def test_warmup_precompiles_grid(model):
+    timings = model.warmup(batch_sizes=[2], buckets=[8], stream_chunk=5)
+    # one full-scan program + one chunked streaming program
+    assert [(t["batch"], t["bucket"]) for t in timings] == [(2, 8), (2, 8)]
+    assert {t["stream_chunk"] for t in timings} == {None, 5}
+    assert all(t["seconds"] >= 0 for t in timings)
+    # warmed shape then samples without error (cache hit not directly
+    # observable here, but the program identity is)
+    crystals = model.sample_batch([8, 8], ["a", "b"],
+                                  key=jax.random.PRNGKey(0))
+    assert len(crystals) == 2
