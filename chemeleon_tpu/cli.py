@@ -167,6 +167,18 @@ def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
                   comp_prior_scale=comp_prior_scale)
 
 
+@cli.command(name="retrieval",
+             help="Crystal-CLIP text->graph retrieval evaluation "
+                  "(top-1/top-5 over a data split).")
+@click.argument("preset")
+@click.argument("checkpoint")
+@click.option("--split", default="test", show_default=True,
+              type=click.Choice(["train", "val", "test"]))
+def cli_retrieval(preset, checkpoint, split):
+    from chemeleon_tpu.eval.retrieval import main as retrieval_main
+    retrieval_main([preset, checkpoint, split])
+
+
 @cli.command(name="warmup",
              help="Precompile sampler shapes into the persistent XLA "
                   "compilation cache (moves 20-60s first-shape compiles out "
