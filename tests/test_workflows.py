@@ -34,7 +34,8 @@ def test_cli_help_tree():
     from chemeleon_tpu.cli import cli
     r = CliRunner().invoke(cli, ["--help"])
     assert r.exit_code == 0
-    for grp in ["navigate", "sample", "evaluate", "bench"]:
+    for grp in ["navigate", "sample", "evaluate", "bench", "warmup",
+                "retrieval"]:
         assert grp in r.output
     r = CliRunner().invoke(cli, ["sample", "--help"])
     assert "composition" in r.output and "prompt" in r.output
