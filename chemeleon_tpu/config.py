@@ -157,6 +157,15 @@ class ChemeleonConfig:
     # (Chemeleon.load_from_checkpoint(use_ema=True)), and validation logs
     # val/loss_ema alongside val/loss. 0 = off.
     ema_decay: float = 0.0
+    # Isovalent element-substitution augmentation (data/augment.py): per
+    # accessed training item, each species is swapped to a same-family
+    # element with this probability (cell rescaled by covalent-volume
+    # ratio, prompt composition rewritten to match). Attacks the 596-row
+    # composition-generalization wall (BENCH.md round 3: held-out
+    # composition_matching 0.0); new draw every epoch. 0 = off. Only
+    # applies when all text_targets are composition/symmetry columns —
+    # free-form prompt columns cannot be rewritten and disable it.
+    aug_substitution_prob: float = 0.0
     # Hang watchdog (utils/watchdog.py): abort the process with exit code 17
     # if no training step completes for this many seconds (a wedged TPU
     # tunnel blocks forever inside a device call — process exit is the only

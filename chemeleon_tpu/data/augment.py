@@ -1,0 +1,167 @@
+"""Isovalent element-substitution augmentation for composition conditioning.
+
+The mp-40 split available in this image is 596 training rows — far too few
+for the type-denoiser to learn the *compositional* structure of prompts
+(held-out composition_matching 0.0, BENCH.md round 3). But the mapping the
+conditioner must learn (prompt composition ↔ atom-type marginals) is
+compositional, and chemistry gives a cheap, label-correct augmentation:
+replace a species with an isovalent one (same periodic-table family),
+rescale the cell isotropically by the covalent-radius ratio, and rewrite the
+prompt's composition to match. Every augmented pair is a *new* composition
+string whose types the model must honor — exactly the generalization the
+held-out eval probes.
+
+This is the classic substitution trick of CSP ML pipelines (SMACT-style
+isovalent families; the reference leans on the full MP corpus instead —
+mp_dataset.py has no augmentation). The geometry of a substituted cell is
+only approximately relaxed, but the conditioning pathway trains on
+(prompt, types) agreement, which substitution preserves exactly.
+
+Applied on the host in the dataloader's prefetch thread (zero TPU cost);
+per-(epoch, index) seeding keeps runs reproducible.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from chemeleon_tpu.chem.elements import COVALENT_RADII, symbol_of, z_of
+
+# Isovalent substitution families: same group, common oxidation states.
+# Restricted to main-group + d-block columns + lanthanides; crossing a
+# family is never allowed, so formal charge balance is preserved.
+FAMILIES: List[List[str]] = [
+    ["Li", "Na", "K", "Rb", "Cs"],
+    ["Be", "Mg", "Ca", "Sr", "Ba"],
+    ["B", "Al", "Ga", "In", "Tl"],
+    ["C", "Si", "Ge", "Sn", "Pb"],
+    ["N", "P", "As", "Sb", "Bi"],
+    ["O", "S", "Se", "Te"],
+    ["F", "Cl", "Br", "I"],
+    ["Sc", "Y"],
+    ["Ti", "Zr", "Hf"],
+    ["V", "Nb", "Ta"],
+    ["Cr", "Mo", "W"],
+    ["Mn", "Tc", "Re"],
+    ["Fe", "Ru", "Os"],
+    ["Co", "Rh", "Ir"],
+    ["Ni", "Pd", "Pt"],
+    ["Cu", "Ag", "Au"],
+    ["Zn", "Cd", "Hg"],
+    ["La", "Ce", "Pr", "Nd", "Sm", "Eu", "Gd", "Tb", "Dy", "Ho", "Er",
+     "Tm", "Yb", "Lu"],
+]
+
+FAMILY_OF: Dict[str, List[str]] = {}
+for _fam in FAMILIES:
+    for _el in _fam:
+        FAMILY_OF[_el] = _fam
+
+
+def composition_text(atom_types: Sequence[int]) -> str:
+    """The mp-40 ``composition`` column format: reduced counts, explicit
+    multiplicity, alphabetical symbols — e.g. ``"Ca1 O10"``."""
+    counts: Dict[str, int] = {}
+    for z in atom_types:
+        s = symbol_of(int(z))
+        counts[s] = counts.get(s, 0) + 1
+    g = np.gcd.reduce(list(counts.values()))
+    return " ".join(f"{s}{counts[s] // g}" for s in sorted(counts))
+
+
+def substitute_types(atom_types: np.ndarray, rng: np.random.Generator,
+                     p_species: float) -> Optional[np.ndarray]:
+    """Per-species isovalent substitution with probability ``p_species``.
+
+    Returns the new atom-type array, or None if nothing changed. A swap is
+    skipped when the candidate element is already present (merging two
+    species would change the reduced formula's support, not just its
+    labels).
+    """
+    types = np.asarray(atom_types)
+    present = {symbol_of(int(z)) for z in types}
+    mapping: Dict[int, int] = {}
+    taken = set(present)
+    for sym in sorted(present):  # sorted: determinism under set ordering
+        fam = FAMILY_OF.get(sym)
+        if fam is None or rng.random() >= p_species:
+            continue
+        candidates = [e for e in fam if e != sym and e not in taken]
+        if not candidates:
+            continue
+        new = candidates[int(rng.integers(len(candidates)))]
+        taken.add(new)
+        taken.discard(sym)
+        mapping[z_of(sym)] = z_of(new)
+    if not mapping:
+        return None
+    return np.vectorize(lambda z: mapping.get(int(z), int(z)),
+                        otypes=[types.dtype])(types)
+
+
+def lattice_scale(old_types: np.ndarray, new_types: np.ndarray) -> float:
+    """Isotropic cell rescale: cube root of the summed covalent-volume
+    ratio, so substituted cells keep a physical packing fraction."""
+    def vol(ts):
+        return sum(COVALENT_RADII.get(symbol_of(int(z)), 1.0) ** 3
+                   for z in ts)
+    return float(vol(new_types) / max(vol(old_types), 1e-9)) ** (1.0 / 3.0)
+
+
+class AugmentedView:
+    """Dataset wrapper applying substitution augmentation on access.
+
+    Mirrors the MPDataset item/bucketing API (``__len__``, ``__getitem__``,
+    ``natoms`` — substitution preserves atom count, so bucket plans are
+    unchanged). Augmentation is keyed by (seed, index): one fixed
+    substitution draw per item per epoch, a fresh one next epoch when the
+    dataloader reseeds.
+    """
+
+    # text targets whose value survives substitution + isotropic rescale
+    INVARIANT_TARGETS = {"crystal_system", "space_group_symbol",
+                         "space_group_number"}
+
+    def __init__(self, dataset, p_species: float, seed: int = 0):
+        self.dataset = dataset
+        self.p_species = float(p_species)
+        self.seed = int(seed)
+        targets = set(getattr(dataset, "text_targets", []) or [])
+        # free-form targets (e.g. the LLM "prompt" column) embed the
+        # composition in prose we cannot rewrite — augmenting under them
+        # would train prompt/structure DISAGREEMENT, so disable
+        self.enabled = targets <= ({"composition"} | self.INVARIANT_TARGETS)
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def natoms(self) -> np.ndarray:
+        return self.dataset.natoms()
+
+    def __getitem__(self, idx: int) -> Dict:
+        item = dict(self.dataset[idx])
+        if not self.enabled:
+            return item
+        rng = np.random.default_rng((self.seed, idx))
+        new_types = substitute_types(item["atom_types"], rng, self.p_species)
+        if new_types is None:
+            return item
+        s = lattice_scale(item["atom_types"], new_types)
+        item["atom_types"] = new_types
+        item["lattice"] = np.asarray(item["lattice"], dtype=np.float32) * s
+        if "text" in item:
+            item["text"] = self._rewrite_text(idx, new_types)
+        return item
+
+    def _rewrite_text(self, idx: int, new_types: np.ndarray) -> str:
+        """Rebuild the prompt with the substituted composition; non-
+        composition targets (crystal_system, ...) are invariant under
+        isovalent substitution + isotropic rescale and pass through."""
+        targets = list(getattr(self.dataset, "text_targets", []) or [])
+        row = dict(self.dataset.rows[idx])
+        row["composition"] = composition_text(new_types)
+        if len(targets) <= 1:
+            return str(row[targets[0]]) if targets else ""
+        return ", ".join(f"{t}: {row[t]}" for t in targets)

@@ -121,8 +121,14 @@ class DataModule:
             self.test_dataset = self._make("test")
 
     def train_dataloader(self, epoch: int = 0):
+        ds = self.train_dataset
+        if self.cfg.aug_substitution_prob > 0:
+            from chemeleon_tpu.data.augment import AugmentedView
+            # reseeded per epoch: every epoch sees a fresh substitution draw
+            ds = AugmentedView(ds, self.cfg.aug_substitution_prob,
+                               seed=self.cfg.seed + epoch)
         return prefetch(bucketed_batches(
-            self.train_dataset, self.cfg.batch_size, self.cfg.pad_buckets,
+            ds, self.cfg.batch_size, self.cfg.pad_buckets,
             shuffle=True, seed=self.cfg.seed + epoch, drop_last=True))
 
     def val_dataloader(self):

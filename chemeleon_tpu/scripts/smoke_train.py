@@ -65,6 +65,9 @@ def main() -> None:
                          "short-epoch runs)")
     ap.add_argument("--eval-rows", type=int, default=8)
     ap.add_argument("--eval-samples", type=int, default=8)
+    ap.add_argument("--aug-sub", type=float, default=0.0,
+                    help="isovalent element-substitution augmentation "
+                         "probability per species (data/augment.py)")
     ap.add_argument("--ema-decay", type=float, default=0.0,
                     help="> 0 maintains EMA params (saved as params_ema in "
                          "every checkpoint; val/loss_ema logged)")
@@ -88,7 +91,8 @@ def main() -> None:
         time_dim=64, text_dim=128, text_embed_dim=128, batch_size=args.batch,
         lr=args.lr, scheduler=args.scheduler, early_stopping=10 ** 6,
         checkpoint_every_n_epochs=args.ckpt_every, max_epochs=args.epochs,
-        ema_decay=args.ema_decay, watchdog_timeout_s=args.watchdog)
+        ema_decay=args.ema_decay, watchdog_timeout_s=args.watchdog,
+        aug_substitution_prob=args.aug_sub)
     trainer = Trainer(cfg, text_backend=args.text_backend)
     result = trainer.fit(resume_from=args.resume_from)
     losses = [h["val/loss"] for h in result["history"]]

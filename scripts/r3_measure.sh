@@ -2,11 +2,15 @@
 # Round-3 on-chip measurement queue. Each phase is one TPU process, run
 # serially (two concurrent TPU clients contend and wedge — CLAUDE.md).
 # Usage: bash scripts/r3_measure.sh <phase> [phase ...]
-#   wait   - block until the TPU tunnel answers (up to ~2 h)
-#   bench  - python bench.py -> /tmp/bench_r3.json
-#   probe  - comp-prior scale sweep -> results/comp_prior_rate.json
-#   ema    - retrain mp40_comp with EMA (600 epochs) under the supervisor
-#   unroll - N=40 bucket with sampler_scan_unroll=2 vs 1
+#   wait      - block until the TPU tunnel answers (up to ~2 h)
+#   bench     - python bench.py -> /tmp/bench_r3.json
+#   probe     - comp-prior scale sweep -> results/comp_prior_rate.json
+#   ema       - retrain mp40_comp with EMA (600 epochs) under the supervisor
+#   unroll    - N=40 bucket with sampler_scan_unroll=2 vs 1
+#   clip      - retrain logs/clip_comp (Crystal-CLIP, composition tower)
+#   retrieval - text->graph retrieval on all 3 splits -> results/
+#   csp       - CSP-mode validity probe -> results/csp_probe.json
+#   prioreval - held-out 20-sample eval at the probe's best prior scale
 set -u
 cd "$(dirname "$0")/.."
 
@@ -40,13 +44,77 @@ phase_ema() {
   log "EMA retrain start (mp40_comp recipe + ema_decay=0.999, 600 epochs)"
   timeout 5400 python -m chemeleon_tpu.scripts.train_resilient --retries 3 \
     --ckpt "logs/mp40_comp_ema/checkpoints/last" \
-    --resume-flag "--resume-from=" -- \
+    "--resume-flag=--resume-from=" -- \
     python -m chemeleon_tpu.scripts.smoke_train \
       --exp-name mp40_comp_ema --preset chemeleon_composition \
       --hidden 512 --layers 6 --batch 64 --lr 5e-4 --scheduler cosine \
       --epochs 600 --ckpt-every 25 --ema-decay 0.999 --watchdog 900 \
       --eval-rows 0 --eval-samples 0 > /tmp/ema_train.log 2>&1
   log "ema train exit=$?"; tail -3 /tmp/ema_train.log
+}
+
+phase_aug() {
+  # flagship recipe + isovalent substitution augmentation (data/augment.py):
+  # the 596-row composition-generalization attack
+  log "mp40_comp_aug train start"
+  timeout 7200 python -m chemeleon_tpu.scripts.train_resilient --retries 4 \
+    --ckpt "logs/mp40_comp_aug/checkpoints/last" \
+    "--resume-flag=--resume-from=" -- \
+    python -m chemeleon_tpu.scripts.smoke_train \
+      --exp-name mp40_comp_aug --preset chemeleon_composition \
+      --hidden 512 --layers 6 --batch 64 --lr 5e-4 --scheduler cosine \
+      --epochs 600 --ckpt-every 25 --ema-decay 0.999 --watchdog 900 \
+      --aug-sub 0.5 --eval-rows 0 --eval-samples 0 > /tmp/aug_train.log 2>&1
+  log "aug train exit=$?"; tail -3 /tmp/aug_train.log
+}
+
+phase_augeval() {
+  # held-out 8-sample eval + comp-prior probe on the augmented checkpoint:
+  # did substitution augmentation move composition_matching off 0.0?
+  log "aug held-out eval"
+  timeout 5400 python -m chemeleon_tpu.cli evaluate \
+    -m logs/mp40_comp_aug/checkpoints/best \
+    --test-data .data_cache/mp40-smoke/test.csv --n-samples 8 \
+    --cache-generation --save-path results/mp40_comp_aug_eval \
+    > /tmp/augeval.log 2>&1
+  log "augeval exit=$?"; tail -3 /tmp/augeval.log
+  log "aug comp-prior probe"
+  timeout 3600 python -m chemeleon_tpu.scripts.probe_comp_prior \
+    --model logs/mp40_comp_aug/checkpoints/best \
+    --out results/comp_prior_rate_aug.json > /tmp/probe_aug.log 2>&1
+  log "aug probe exit=$?"; tail -3 /tmp/probe_aug.log
+}
+
+phase_clip() {
+  # the BENCH.md round-3 recipe: 256/4L graph tower, composition text
+  # tower, clip_dim 128, 300 epochs on the 596-row split
+  log "clip_comp retrain start"
+  timeout 3600 python run_crystal_clip.py clip_composition_featurized \
+    exp_name=clip_comp data_dir=.data_cache/mp40-smoke \
+    hidden_dim=256 num_layers=4 clip_dim=128 batch_size=64 \
+    max_epochs=300 watchdog_timeout_s=900 > /tmp/clip_train.log 2>&1
+  log "clip train exit=$?"; tail -3 /tmp/clip_train.log
+}
+
+phase_retrieval() {
+  mkdir -p results
+  for split in test val train; do
+    log "retrieval on $split"
+    timeout 1800 python -m chemeleon_tpu.eval.retrieval \
+      logs/clip_comp/config.json logs/clip_comp/clip_checkpoints/best \
+      "$split" > "/tmp/retrieval_$split.json" 2>/tmp/retrieval.log \
+      && tail -1 "/tmp/retrieval_$split.json" | tee \
+        "results/clip_comp_retrieval_$split.json"
+  done
+  cp results/clip_comp_retrieval_test.json results/clip_comp_retrieval.json
+}
+
+phase_csp() {
+  log "CSP-mode probe start"
+  timeout 3600 python -m chemeleon_tpu.scripts.probe_csp \
+    --model logs/mp40_comp/checkpoints/best \
+    --out results/csp_probe.json > /tmp/csp_probe.log 2>&1
+  log "csp exit=$?"; tail -2 /tmp/csp_probe.log
 }
 
 phase_prioreval() {

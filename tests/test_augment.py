@@ -1,0 +1,173 @@
+"""Element-substitution augmentation (data/augment.py).
+
+The augmentation's contract: atom counts and bucketing are unchanged, the
+prompt's composition string always matches the substituted types (the whole
+point — prompt/structure agreement is what the conditioner trains on), swaps
+stay inside isovalent families, and draws are deterministic per (seed, idx)
+so runs are reproducible.
+"""
+
+import numpy as np
+import pytest
+
+from chemeleon_tpu.chem.composition import (
+    parse_composition, reduced_composition)
+from chemeleon_tpu.chem.elements import symbol_of
+from chemeleon_tpu.data.augment import (
+    FAMILY_OF, AugmentedView, composition_text, lattice_scale,
+    substitute_types)
+
+
+class FakeDataset:
+    """Minimal MPDataset stand-in: TiO2-like + NaCl-like items."""
+
+    text_targets = ["composition"]
+
+    def __init__(self):
+        self.items = [
+            dict(atom_types=np.array([22, 8, 8, 22, 8, 8], dtype=np.int32),
+                 frac_coords=np.random.default_rng(0).random((6, 3))
+                 .astype(np.float32),
+                 lattice=np.eye(3, dtype=np.float32) * 4.0,
+                 text="O2 Ti1"),
+            dict(atom_types=np.array([11, 17], dtype=np.int32),
+                 frac_coords=np.zeros((2, 3), dtype=np.float32),
+                 lattice=np.eye(3, dtype=np.float32) * 3.0,
+                 text="Cl1 Na1"),
+        ]
+        self.rows = [{"composition": it["text"]} for it in self.items]
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return dict(self.items[i])
+
+    def natoms(self):
+        return np.asarray([len(it["atom_types"]) for it in self.items])
+
+
+def test_composition_text_matches_mp40_format():
+    # reduced counts, explicit multiplicity, alphabetical: "O2 Ti1" for TiO2
+    assert composition_text([22, 8, 8, 22, 8, 8]) == "O2 Ti1"
+    assert composition_text([11, 17]) == "Cl1 Na1"
+    # gcd reduction: Ca2 O20 -> Ca1 O10
+    assert composition_text([20] * 2 + [8] * 20) == "Ca1 O10"
+
+
+def test_substitution_stays_in_family_and_preserves_counts():
+    types = np.array([22, 8, 8, 22, 8, 8], dtype=np.int32)
+    hit = False
+    for seed in range(40):
+        new = substitute_types(types, np.random.default_rng(seed), 0.9)
+        if new is None:
+            continue
+        hit = True
+        assert new.shape == types.shape and new.dtype == types.dtype
+        # each original species maps to ONE new species in its family
+        for old_z in np.unique(types):
+            new_zs = np.unique(new[types == old_z])
+            assert len(new_zs) == 1
+            assert symbol_of(int(new_zs[0])) in FAMILY_OF[symbol_of(int(old_z))]
+    assert hit, "p=0.9 over 40 seeds never substituted"
+
+
+def test_substitution_never_merges_species():
+    # Fe and Ru coexist: Fe->Ru (or Ru->Fe) must be skipped, never merged
+    types = np.array([26, 44, 8, 8], dtype=np.int32)
+    for seed in range(60):
+        new = substitute_types(types, np.random.default_rng(seed), 1.0)
+        if new is not None:
+            assert len(np.unique(new)) == len(np.unique(types))
+
+
+def test_lattice_scale_direction():
+    # Ti->Hf (bigger radius) must expand the cell; O->S likewise
+    old = np.array([22, 8, 8], dtype=np.int32)
+    bigger = np.array([72, 8, 8], dtype=np.int32)
+    assert lattice_scale(old, bigger) > 1.0
+    assert lattice_scale(old, old) == pytest.approx(1.0)
+
+
+def test_view_rewrites_text_to_match_types():
+    view = AugmentedView(FakeDataset(), p_species=1.0, seed=3)
+    assert view.enabled
+    for idx in range(len(view)):
+        item = view[idx]
+        want = composition_text(item["atom_types"])
+        assert item["text"] == want
+        # and the string round-trips through the composition parser
+        red = reduced_composition(parse_composition(item["text"]))
+        got = {symbol_of(int(z)) for z in item["atom_types"]}
+        assert set(red) == got
+
+
+def test_view_deterministic_per_seed_and_fresh_per_epoch():
+    ds = FakeDataset()
+    a = AugmentedView(ds, 1.0, seed=7)[0]
+    b = AugmentedView(ds, 1.0, seed=7)[0]
+    np.testing.assert_array_equal(a["atom_types"], b["atom_types"])
+    diff_seen = any(
+        not np.array_equal(AugmentedView(ds, 1.0, seed=7 + e)[0]["atom_types"],
+                           a["atom_types"])
+        for e in range(1, 8))
+    assert diff_seen, "reseeding never changed the draw"
+
+
+def test_view_identity_at_zero_prob_and_natoms_stable():
+    ds = FakeDataset()
+    view = AugmentedView(ds, 0.0, seed=0)
+    item, orig = view[0], ds[0]
+    np.testing.assert_array_equal(item["atom_types"], orig["atom_types"])
+    np.testing.assert_array_equal(item["lattice"], orig["lattice"])
+    assert item["text"] == orig["text"]
+    np.testing.assert_array_equal(view.natoms(), ds.natoms())
+
+
+def test_view_disabled_for_free_form_prompt_targets():
+    ds = FakeDataset()
+    ds.text_targets = ["prompt"]
+    view = AugmentedView(ds, 1.0, seed=0)
+    assert not view.enabled
+    np.testing.assert_array_equal(view[0]["atom_types"],
+                                  ds[0]["atom_types"])
+
+
+def test_multi_target_text_keeps_invariant_columns():
+    ds = FakeDataset()
+    ds.text_targets = ["composition", "crystal_system"]
+    ds.rows = [dict(r, crystal_system="cubic") for r in ds.rows]
+    view = AugmentedView(ds, 1.0, seed=1)
+    assert view.enabled
+    item = view[0]
+    comp = composition_text(item["atom_types"])
+    assert item["text"] == f"composition: {comp}, crystal_system: cubic"
+
+
+def test_datamodule_threads_augmentation(tmp_path):
+    """cfg.aug_substitution_prob > 0 makes train batches' texts track the
+    substituted types end to end through the real DataModule."""
+    from chemeleon_tpu.config import get_config
+    from chemeleon_tpu.data.datamodule import DataModule
+
+    src = "data/mp-40/test.csv"
+    import csv
+    import itertools
+    csv.field_size_limit(10 ** 9)
+    with open(src) as f:
+        rows = list(itertools.islice(csv.DictReader(f), 24))
+    for split in ("train", "val", "test"):
+        with open(tmp_path / f"{split}.csv", "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+
+    cfg = get_config("chemeleon_composition", data_dir=str(tmp_path),
+                     batch_size=4, aug_substitution_prob=1.0)
+    dm = DataModule(cfg)
+    dm.setup("fit")
+    batch, texts = next(iter(dm.train_dataloader(epoch=0)))
+    types = np.asarray(batch.atom_types)
+    natoms = np.asarray(batch.natoms)
+    for b, text in enumerate(texts):
+        assert text == composition_text(types[b][: natoms[b]])
