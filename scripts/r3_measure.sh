@@ -96,6 +96,24 @@ phase_clip() {
   log "clip train exit=$?"; tail -3 /tmp/clip_train.log
 }
 
+phase_clipaug() {
+  # CLIP recipe + substitution augmentation: every epoch sees fresh
+  # composition/structure pairs -> does held-out retrieval improve further?
+  log "clip_comp_aug retrain start"
+  timeout 3600 python run_crystal_clip.py clip_composition_featurized \
+    exp_name=clip_comp_aug data_dir=.data_cache/mp40-smoke \
+    hidden_dim=256 num_layers=4 clip_dim=128 batch_size=64 \
+    max_epochs=300 watchdog_timeout_s=900 aug_substitution_prob=0.5 \
+    > /tmp/clipaug_train.log 2>&1
+  log "clipaug train exit=$?"; tail -3 /tmp/clipaug_train.log
+  log "clipaug retrieval (held-out)"
+  mkdir -p results
+  timeout 1800 python -m chemeleon_tpu.eval.retrieval \
+    logs/clip_comp_aug/config.json logs/clip_comp_aug/clip_checkpoints/best \
+    test > /tmp/retrieval_aug.json 2>>/tmp/retrieval.log \
+    && tail -1 /tmp/retrieval_aug.json | tee results/clip_comp_aug_retrieval.json
+}
+
 phase_retrieval() {
   mkdir -p results
   for split in test val train; do
@@ -134,6 +152,30 @@ PY
     --comp-prior-scale "$scale" --cache-generation \
     --save-path results/mp40_comp_prior_eval > /tmp/prioreval.log 2>&1
   log "prioreval exit=$?"; tail -5 /tmp/prioreval.log
+}
+
+phase_emavalid() {
+  # EMA vs raw weights on the 256-sample guided validity probe (the round-3
+  # EMA feature has never been measured on-chip)
+  log "validity probe: raw weights"
+  BENCH_MODE=valid timeout 2400 python bench.py \
+    > /tmp/valid_raw.json 2>>/tmp/valid_probe.log
+  log "raw:"; cat /tmp/valid_raw.json
+  log "validity probe: EMA weights"
+  BENCH_MODE=valid BENCH_VALID_EMA=1 timeout 2400 python bench.py \
+    > /tmp/valid_ema.json 2>>/tmp/valid_probe.log
+  log "ema:"; cat /tmp/valid_ema.json
+}
+
+phase_fullprotocol() {
+  # the reference evaluation protocol at full scale: 706 rows x 20 samples
+  # (evaluate.py:26-28), resumable generation cache
+  log "full protocol start (expect ~2 h)"
+  timeout 10000 python -m chemeleon_tpu.cli evaluate \
+    -m logs/mp40_comp/checkpoints/best \
+    --n-samples 20 --cache-generation \
+    --save-path results/full_protocol > /tmp/fullproto.log 2>&1
+  log "full protocol exit=$?"; tail -5 /tmp/fullproto.log
 }
 
 phase_unroll() {
