@@ -692,18 +692,26 @@ class Chemeleon:
     def sampler_cost_analysis(self, natoms: List[int],
                               texts: Optional[List[str]] = None,
                               cond_scale: float = 2.0, step_lr: float = 1e-5,
-                              key: Optional[jax.Array] = None) -> dict:
+                              key: Optional[jax.Array] = None,
+                              ts_len: Optional[int] = None) -> dict:
         """XLA's own cost analysis (flops, bytes accessed, ...) of the
         compiled whole-sampler program for this batch shape. bench.py divides
         `flops` by measured wall time for a per-bucket achieved-TFLOP/s and
         MFU figure — using the compiler's flop count avoids hand-derived
-        analytic estimates drifting from the program XLA actually emits."""
+        analytic estimates drifting from the program XLA actually emits.
+
+        Caveat: XLA cost analysis counts a while/scan BODY once, without
+        multiplying by the trip count, on current TPU backends. ``ts_len``
+        lets the caller lower a shorter scan (e.g. 1 step) and compare
+        against the full program to calibrate that multiplier (bench.py
+        `_scan_flops_multiplier`)."""
         cfg = self.cfg
         batch0, text_embeds, null_embeds, key = \
             self._prepare_sampling_inputs(natoms, texts, key)
         B, N = batch0.atom_types.shape
         run = self._get_compiled_sampler(B, N, False, None)
-        ts = jnp.arange(cfg.timesteps, 0, -1)
+        ts = jnp.arange(cfg.timesteps, cfg.timesteps - (ts_len or
+                                                        cfg.timesteps), -1)
         lowered = run.lower(self.params["decoder"], batch0.natoms,
                             text_embeds, null_embeds, key, cond_scale,
                             step_lr, ts)
