@@ -33,3 +33,34 @@ def test_bucket_mix_matches_dataset():
 def test_every_bucket_has_a_tuned_batch_size():
     assert set(bench.BUCKET_BATCH) == set(bench.MP40_BUCKET_MIX)
     assert all(b > 0 for b in bench.BUCKET_BATCH.values())
+
+
+def test_scan_flops_multiplier_calibrates_body_undercount():
+    """XLA cost analysis counts a scan body once (no trip-count multiply);
+    the bench MFU column must calibrate this or it under-reports by
+    ~timesteps x (the round-3 0.0007-MFU bug)."""
+    import jax
+
+    from chemeleon_tpu import Chemeleon, get_config
+
+    cfg = get_config(None, hidden_dim=32, num_layers=1, num_freqs=8,
+                     time_dim=16, text_dim=16, text_embed_dim=32,
+                     timesteps=20, pad_buckets=(8,))
+    m = Chemeleon(cfg, text_backend="hash")
+    m.init_params(jax.random.PRNGKey(0))
+    bench._SCAN_FLOPS_MULT = None  # reset the per-run cache
+    try:
+        mult = bench._scan_flops_multiplier(m, 6, 4)
+    finally:
+        bench._SCAN_FLOPS_MULT = None
+    # either the backend counts the body once (-> multiplier == timesteps)
+    # or it already multiplies (-> 1.0); anything else means the
+    # calibration itself is broken
+    assert mult in (20.0, 1.0)
+    # on current CPU/TPU backends it is the undercounting case; if this
+    # flips after a JAX upgrade the bench stays correct by construction,
+    # but we want to notice
+    full = float(m.sampler_cost_analysis([6] * 4, ["x"] * 4)["flops"])
+    one = float(m.sampler_cost_analysis([6] * 4, ["x"] * 4,
+                                        ts_len=1)["flops"])
+    assert (mult == 20.0) == (full < 2.0 * one)
