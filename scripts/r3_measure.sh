@@ -137,20 +137,29 @@ phase_csp() {
 
 phase_prioreval() {
   # full reference protocol (20 samples/row) on the 56 HELD-OUT rows with
-  # composition-prior guidance at the probe's best scale
+  # composition-prior guidance at the probe's best scale, using the
+  # strongest composition-follower (the augmented flagship when present)
+  local model=logs/mp40_comp/checkpoints/best
+  local rates=results/comp_prior_rate.json
+  local out=results/mp40_comp_prior_eval
+  if [ -d logs/mp40_comp_aug/checkpoints/best ]; then
+    model=logs/mp40_comp_aug/checkpoints/best
+    rates=results/comp_prior_rate_aug.json
+    out=results/mp40_comp_aug_prior_eval
+  fi
   local scale
-  scale=$(python - <<'PY'
-import json
-d = json.load(open("results/comp_prior_rate.json"))["by_scale"]
+  scale=$(RATES="$rates" python - <<'PY'
+import json, os
+d = json.load(open(os.environ["RATES"]))["by_scale"]
 print(max(d, key=lambda k: d[k]["exact_mean"]))
 PY
 )
-  log "prior-guided held-out eval at scale=$scale"
-  timeout 3600 python -m chemeleon_tpu.cli evaluate \
-    -m logs/mp40_comp/checkpoints/best \
+  log "prior-guided held-out eval: model=$model scale=$scale"
+  timeout 5400 python -m chemeleon_tpu.cli evaluate \
+    -m "$model" \
     --test-data .data_cache/mp40-smoke/test.csv --n-samples 20 \
     --comp-prior-scale "$scale" --cache-generation \
-    --save-path results/mp40_comp_prior_eval > /tmp/prioreval.log 2>&1
+    --save-path "$out" > /tmp/prioreval.log 2>&1
   log "prioreval exit=$?"; tail -5 /tmp/prioreval.log
 }
 
