@@ -151,9 +151,13 @@ def cli_sample_prompt(text_input, n_atoms, n_samples, save_dir):
               help="Composition-prior guidance strength: > 0 biases each "
                    "row's type diffusion toward its own composition's "
                    "element fractions (types still diffuse freely).")
+@click.option("--sample-steps", default=0, show_default=True,
+              help="Few-step sampling: run K < timesteps strided reverse "
+                   "steps (~T/K faster, measured validity cost — BENCH.md). "
+                   "0 = the full reference-parity schedule.")
 def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
                  max_rows, csp, pack_rows, cache_generation,
-                 comp_prior_scale):
+                 comp_prior_scale, sample_steps):
     from chemeleon_tpu.eval.evaluate import test_evaluate
     from chemeleon_tpu.models.chemeleon import Chemeleon
 
@@ -164,7 +168,8 @@ def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
                   cond_scale=cond_scale, save_path=save_path,
                   max_rows=max_rows, csp=csp, pack_rows=pack_rows,
                   cache_generation=cache_generation,
-                  comp_prior_scale=comp_prior_scale)
+                  comp_prior_scale=comp_prior_scale,
+                  sample_steps=sample_steps)
 
 
 @cli.command(name="retrieval",

@@ -143,6 +143,15 @@ class ChemeleonConfig:
     checkpoint_every_n_epochs: int = 1
     # Trajectory snapshot stride inside the compiled sampler (1 = every step).
     trajectory_stride: int = 1
+    # Few-step (strided) sampling: number of reverse steps to run at
+    # inference, 0 = all `timesteps` (the reference-parity 1000-step
+    # predictor-corrector). K < timesteps picks K timesteps evenly over
+    # [1, T] and jumps between them: D3PM absorbing-chain jump posterior for
+    # types, DDIM eta=1 for the lattice, coarser VE ladder for coords —
+    # sampling wall time scales ~T/K (framework extension; measured
+    # validity-vs-steps tradeoff in BENCH.md). Override per call via
+    # sample_batch(sample_steps=...).
+    sample_steps: int = 0
     # lax.scan unroll factor for the sampler's reverse loop: > 1 replicates
     # the step body so XLA can overlap VPU epilogues / DMA across adjacent
     # timesteps, at the cost of compile time and program size. Numerics are

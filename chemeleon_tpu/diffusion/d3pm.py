@@ -112,6 +112,61 @@ class D3PM:
         out = jnp.log(fact1 + self.eps) + jnp.log(fact2 + self.eps)
         return jnp.where((t == 1)[..., None], x_0_logits, out)
 
+    # -- jump posterior q(x_s | x_t, x_0), s < t (few-step sampling) --------
+    def q_posterior_logits_jump(self, x_0: jnp.ndarray, x_t: jnp.ndarray,
+                                t: jnp.ndarray, s: jnp.ndarray,
+                                is_x_0_one_hot: bool = False) -> jnp.ndarray:
+        """Posterior logits for an arbitrary jump t -> s (0 <= s < t).
+
+        The absorbing chain composes in closed form: a product of one-step
+        matrices (1-b)I + b*e0 is gamma*I + (1-gamma)*e0 with gamma the
+        product of the survival probabilities, so the s->t transition needs
+        only the survival ratio abar(t)/abar(s) read off the cumulative
+        q_mats diagonal — no matrix products inside the sampler. At
+        s == t-1 this reduces to ``q_posterior_logits`` (unit-tested); at
+        s == 0 it returns the x_0 logits (the reference's t == 1 branch).
+        The reference has no few-step path (diff_utils.py:258-286 is strictly
+        one-step); this powers the sample_steps inference knob."""
+        if is_x_0_one_hot:
+            x_0_logits = x_0
+        else:
+            x_0_logits = jnp.log(
+                jax.nn.one_hot(x_0, self.max_atoms, dtype=jnp.float32) + self.eps)
+
+        t = jnp.broadcast_to(t, x_t.shape)
+        s = jnp.broadcast_to(s, x_t.shape)
+        # survival prob of any non-absorbing class through Q_0..Q_m is the
+        # [1, 1] entry of the cumulative product; pad with 1 for "m = -1"
+        # so the at()-convention indices t-1 / s-1 become t / s directly.
+        abar = jnp.concatenate([jnp.ones((1,), self.q_mats.dtype),
+                                self.q_mats[:, 1, 1]])
+        gamma = (abar[t] / jnp.maximum(abar[s], self.eps))[..., None]
+        # fact1[..., j] = Q_{s->t}[j, x_t] = gamma*1[j==x_t] + (1-gamma)*1[x_t==0]
+        one_hot_xt = jax.nn.one_hot(x_t, self.max_atoms, dtype=jnp.float32)
+        absorbed = (x_t == 0).astype(jnp.float32)[..., None]
+        fact1 = gamma * one_hot_xt + (1.0 - gamma) * absorbed
+        softmaxed = jax.nn.softmax(x_0_logits, axis=-1)
+        # q(x_s | x_0) uses cumulative Q̄ at index s-1 (at()-convention),
+        # clamped at 0 for s == 0 (value discarded by the where below)
+        qmats2 = self.q_mats[jnp.maximum(s - 1, 0)]
+        fact2 = jnp.einsum("...c,...cd->...d", softmaxed, qmats2)
+        out = jnp.log(fact1 + self.eps) + jnp.log(fact2 + self.eps)
+        return jnp.where((s == 0)[..., None], x_0_logits, out)
+
+    def p_logits_jump(self, pred_x_start_logits: jnp.ndarray,
+                      x_t: jnp.ndarray, t: jnp.ndarray, s: jnp.ndarray,
+                      noise: jnp.ndarray) -> jnp.ndarray:
+        """Sample x_s ~ p(x_s | x_t) via Gumbel-argmax for an arbitrary jump
+        t -> s; at s == 0 the gumbel noise is zeroed (deterministic argmax of
+        the x_0 logits), mirroring ``p_logits`` at t == 1."""
+        logits = self.q_posterior_logits_jump(
+            pred_x_start_logits, x_t, t, s, is_x_0_one_hot=True)
+        noise = jnp.clip(noise, self.eps, 1.0)
+        s = jnp.broadcast_to(s, x_t.shape)
+        nonzero_mask = (s != 0).astype(logits.dtype)[..., None]
+        gumbel_noise = -jnp.log(-jnp.log(noise))
+        return jnp.argmax(logits + gumbel_noise * nonzero_mask, axis=-1)
+
     # -- losses (diff_utils.py:288-305) -------------------------------------
     def categorical_kl_logits(self, logits1: jnp.ndarray, logits2: jnp.ndarray,
                               mask: jnp.ndarray | None = None,

@@ -72,7 +72,8 @@ def _max_gen_batch(bucket: int, hidden_dim: int) -> int:
 def _packed_generate(model, parsed, n_samples, cond_scale, key,
                      pack_rows: int = 8, csp: bool = False,
                      comp_prior_scale: float = 0.0,
-                     cache_dir: Optional[Path] = None):
+                     cache_dir: Optional[Path] = None,
+                     sample_steps: int = 0):
     """TPU-first generation: pack several test rows into one sampler batch
     (grouped by padding bucket), instead of one sampler call per row like
     the reference (evaluate.py:94-99). Returns {row_index: [Crystal]}.
@@ -104,6 +105,8 @@ def _packed_generate(model, parsed, n_samples, cond_scale, key,
     # pre-tag csp/prior cache ever existed) stays valid.
     tag = ("_csp" if csp else
            f"_prior{comp_prior_scale:g}" if comp_prior_scale > 0 else "")
+    if sample_steps:
+        tag += f"_k{sample_steps}"  # few-step runs get their own cache
     for bucket, idxs in sorted(by_bucket.items()):
         for s in range(0, len(idxs), pack_rows):
             chunk = idxs[s: s + pack_rows]
@@ -137,6 +140,7 @@ def _packed_generate(model, parsed, n_samples, cond_scale, key,
                         comp_prior=(comps[sl] if comp_prior_scale > 0
                                     else None),
                         comp_prior_scale=comp_prior_scale,
+                        sample_steps=sample_steps or None,
                         key=jax.random.fold_in(kb, p))
                 if cpath is not None:
                     _save_gen_chunk(cpath, gen)
@@ -152,7 +156,8 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
                   calculator=None, seed: int = 42,
                   progress: bool = True, pack_rows: int = 8,
                   csp: bool = False, comp_prior_scale: float = 0.0,
-                  cache_generation: bool = False) -> Dict[str, float]:
+                  cache_generation: bool = False,
+                  sample_steps: int = 0) -> Dict[str, float]:
     """Evaluate ``model`` (a Chemeleon with params loaded) on the test CSV.
 
     ``pack_rows`` > 1 batches several rows per compiled sampler call (same
@@ -196,7 +201,8 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
         model, parsed, n_samples, cond_scale, key,
         pack_rows=max(1, pack_rows), csp=csp,
         comp_prior_scale=comp_prior_scale,
-        cache_dir=Path(save_path) / "gen_cache" if cache_generation else None)
+        cache_dir=Path(save_path) / "gen_cache" if cache_generation else None,
+        sample_steps=sample_steps)
 
     it = [(i, rows[i]) for i in sorted(parsed)]
     if progress:

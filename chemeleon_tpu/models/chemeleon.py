@@ -212,8 +212,21 @@ def sampler_step(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
                  null_text_embeds: Optional[jnp.ndarray], key: jax.Array,
                  cond_scale: float, step_lr: float,
                  fixed_types: Optional[jnp.ndarray] = None,
-                 type_prior: Optional[jnp.ndarray] = None) -> SamplerState:
+                 type_prior: Optional[jnp.ndarray] = None,
+                 s: Optional[jnp.ndarray] = None) -> SamplerState:
     """One reverse step t -> t-1 (predictor + corrector).
+
+    ``s`` switches to the strided (few-step) update t -> s for an arbitrary
+    0 <= s < t: the D3PM ancestral step becomes the absorbing-chain jump
+    posterior (d3pm.q_posterior_logits_jump), the lattice step becomes the
+    DDIM eta=1 update (whose mean and variance reduce EXACTLY to this DDPM
+    ancestral step at s == t-1, since sched.beta.sigmas is the posterior
+    std), and the VE coords predictor anneals to sigma[s] instead of
+    sigma[t-1]. ``s is None`` keeps the reference-parity one-step math
+    untouched. The reference sampler is strictly 1000-step
+    (chemeleon.py:305-467); sample_steps is a framework extension that
+    trades sampler steps for serving throughput at a measured validity cost
+    (BENCH.md).
 
     ``fixed_types`` [B, N] switches to CSP mode (the DiffCSP task CSPNet was
     built for): atom types are KNOWN and clamped every step — only lattice
@@ -234,7 +247,8 @@ def sampler_step(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
 
     key_t = jax.random.fold_in(key, t)
     k_a, k_l, k_x1, k_x2 = jax.random.split(key_t, 4)
-    not_last = (t > 1).astype(jnp.float32)  # zero noise at t == 1
+    # zero noise at the final step (t == 1 one-step; s == 0 strided)
+    not_last = ((t > 1) if s is None else (s > 0)).astype(jnp.float32)
 
     batched_t = jnp.full((B,), t, jnp.int32)
     time_emb = sinusoidal_time_embedding(batched_t, cfg.time_dim)
@@ -252,26 +266,43 @@ def sampler_step(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
             pred_a = pred_a + type_prior[:, None, :]
         rand_a = jax.random.uniform(k_a, (B, N, C))
         t_bn = jnp.full((B, N), t, jnp.int32)
-        a_next = sched.d3pm.p_logits(pred_a, a_t, t_bn, rand_a)
+        if s is None:
+            a_next = sched.d3pm.p_logits(pred_a, a_t, t_bn, rand_a)
+        else:
+            s_bn = jnp.full((B, N), s, jnp.int32)
+            a_next = sched.d3pm.p_logits_jump(pred_a, a_t, t_bn, s_bn, rand_a)
         a_next = jnp.where(mask, a_next, 0)
     else:
         a_next = jnp.where(mask, fixed_types, 0)
 
-    # lattice: DDPM ancestral step (chemeleon.py:412-425)
-    alpha_t = sched.beta.alphas[t]
-    acp_t = sched.beta.alphas_cumprod[t]
-    sig_t = sched.beta.sigmas[t]
-    c0 = 1.0 / jnp.sqrt(alpha_t)
-    c1 = (1.0 - alpha_t) / jnp.sqrt(1.0 - acp_t)
     rand_l = jax.random.normal(k_l, (B, 3, 3)) * not_last * lmask
-    l_next = c0 * (l_t - c1 * pred_l) + sig_t * rand_l
+    if s is None:
+        # lattice: DDPM ancestral step (chemeleon.py:412-425)
+        alpha_t = sched.beta.alphas[t]
+        acp_t = sched.beta.alphas_cumprod[t]
+        sig_t = sched.beta.sigmas[t]
+        c0 = 1.0 / jnp.sqrt(alpha_t)
+        c1 = (1.0 - alpha_t) / jnp.sqrt(1.0 - acp_t)
+        l_next = c0 * (l_t - c1 * pred_l) + sig_t * rand_l
+    else:
+        # lattice: DDIM eta=1 jump t -> s. alphas_cumprod[0] == 1, so at
+        # s == 0 the variance and direction terms vanish and l_0 = x0_hat.
+        acp_t = sched.beta.alphas_cumprod[t]
+        acp_s = sched.beta.alphas_cumprod[s]
+        x0_hat = (l_t - jnp.sqrt(1.0 - acp_t) * pred_l) / jnp.sqrt(acp_t)
+        var = (1.0 - acp_s) / (1.0 - acp_t) * (1.0 - acp_t / acp_s)
+        dir_coef = jnp.sqrt(jnp.clip(1.0 - acp_s - var, 0.0))
+        l_next = (jnp.sqrt(acp_s) * x0_hat + dir_coef * pred_l
+                  + jnp.sqrt(jnp.clip(var, 0.0)) * rand_l)
     l_next = l_next * lmask
     l_next = jnp.where(t == T, jnp.clip(l_next, -6.0, 6.0), l_next)
 
-    # coords half-step: VE ancestral (chemeleon.py:426-437)
+    # coords half-step: VE ancestral (chemeleon.py:426-437); the strided
+    # path anneals straight to sigma[s] (sigmas[0] == 0, so the final jump
+    # is noiseless either way)
     sx = sched.sigma.sigmas[t]
     sn = sched.sigma.sigmas_norm[t]
-    adj = sched.sigma.sigmas[t - 1]
+    adj = sched.sigma.sigmas[t - 1 if s is None else s]
     step_size = sx ** 2 - adj ** 2
     std_x = jnp.sqrt((adj ** 2 * (sx ** 2 - adj ** 2)) / (sx ** 2))
     rand_x = jax.random.normal(k_x1, (B, N, 3)) * not_last
@@ -317,19 +348,25 @@ def run_sampler_scan(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
                      record_traj: bool, stride: int = 1,
                      fixed_types: Optional[jnp.ndarray] = None,
                      type_prior: Optional[jnp.ndarray] = None):
-    """Scan the reverse process over ``ts`` (descending timesteps).
+    """Scan the reverse process over ``ts``.
+
+    ``ts`` is either [K] descending consecutive timesteps (the
+    reference-parity path: every step is t -> t-1) or [K, 2] (t, s) pairs
+    from ``strided_sample_ts`` (the few-step path: each step jumps t -> s).
 
     ``stride`` (cfg.trajectory_stride) thins the recorded trajectory: the
     scan runs over ``ts`` reshaped [T/stride, stride] with an inner scan per
     chunk and emits only the last-of-chunk state, so the stacked ys (the
     host transfer in trajectory mode) shrink stride-fold. The reference
     snapshots at the consumer's cadence instead (streamlit_app.py:19-21)."""
+    strided = ts.ndim == 2
 
     def step(carry: SamplerState, t):
+        t, s = (t[0], t[1]) if strided else (t, None)
         return sampler_step(decoder_params, decoder, sched, cfg, carry, t,
                             mask, text_embeds, null_text_embeds, key,
                             cond_scale, step_lr, fixed_types=fixed_types,
-                            type_prior=type_prior)
+                            type_prior=type_prior, s=s)
 
     unroll = max(1, int(getattr(cfg, "sampler_scan_unroll", 1)))
     if not record_traj or stride <= 1:
@@ -351,7 +388,27 @@ def run_sampler_scan(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
                               unroll=unroll)
         return nxt, (nxt.atom_types, nxt.frac_coords, nxt.lattices)
 
-    return jax.lax.scan(chunk_body, state, ts.reshape(n // stride, stride))
+    shape = (n // stride, stride, 2) if strided else (n // stride, stride)
+    return jax.lax.scan(chunk_body, state, ts.reshape(shape))
+
+
+def strided_sample_ts(timesteps: int, sample_steps: Optional[int]) -> jnp.ndarray:
+    """Timestep schedule for the sampler scan.
+
+    Returns the [T] descending consecutive array (reference-parity path)
+    when ``sample_steps`` is falsy or == timesteps, else a [K, 2] array of
+    (t, s) jump pairs over K timesteps spread evenly across [1, T] with a
+    final jump to s = 0 (run_sampler_scan dispatches on ndim)."""
+    T = int(timesteps)
+    K = int(sample_steps or 0)
+    if K in (0, T):
+        return jnp.arange(T, 0, -1)
+    if not 1 <= K < T:
+        raise ValueError(f"sample_steps={K} must be in [1, timesteps={T}]")
+    # descending, always starting at T (K=1 => one jump T -> 0)
+    ts = np.round(np.linspace(T, 1, K)).astype(np.int64)
+    s = np.concatenate([ts[1:], [0]])
+    return jnp.asarray(np.stack([ts, s], axis=1), jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -560,7 +617,8 @@ class Chemeleon:
                      n_max: Optional[int] = None,
                      mesh=None, fixed_types=None,
                      comp_prior: Optional[List[Optional[str]]] = None,
-                     comp_prior_scale: float = 1.0):
+                     comp_prior_scale: float = 1.0,
+                     sample_steps: Optional[int] = None):
         """Batched sampling API (heals the reference's API skew — SURVEY §3.5:
         evaluate.py/dash_app.py call an older (natoms, texts) signature).
 
@@ -578,8 +636,14 @@ class Chemeleon:
         entries = unbiased row) for composition-prior guided sampling —
         ``comp_prior_scale`` * log-fraction bias added to the predicted x0
         type logits each step (see sampler_step). Mutually exclusive with
-        ``fixed_types``; scale 0.0 reproduces unbiased sampling exactly."""
+        ``fixed_types``; scale 0.0 reproduces unbiased sampling exactly.
+
+        ``sample_steps``: run K < cfg.timesteps strided reverse steps
+        (defaults to cfg.sample_steps; 0/None = all timesteps). ~T/K faster
+        at a measured validity cost (BENCH.md few-step table)."""
         cfg = self.cfg
+        if sample_steps is None:
+            sample_steps = cfg.sample_steps
         batch0, text_embeds, null_embeds, key = \
             self._prepare_sampling_inputs(natoms, texts, key, n_max)
         B, N = batch0.atom_types.shape
@@ -617,10 +681,16 @@ class Chemeleon:
                 self._mesh_params_src = (mesh, decoder_params)
             decoder_params = self._mesh_params
 
+        if sample_steps and return_trajectory and \
+                sample_steps != cfg.timesteps:
+            raise ValueError(
+                "return_trajectory assumes the consecutive-timestep index "
+                "convention (TrajectoryContainer); run few-step sampling "
+                "without trajectory recording")
         run = self._get_compiled_sampler(B, N, return_trajectory, None,
                                          csp=ftypes is not None,
                                          prior=type_prior is not None)
-        ts = jnp.arange(cfg.timesteps, 0, -1)
+        ts = strided_sample_ts(cfg.timesteps, sample_steps)
         final, traj = run(decoder_params, batch_natoms, text_embeds,
                           null_embeds, key, cond_scale, step_lr, ts,
                           fixed_types=ftypes, type_prior=type_prior)
@@ -651,7 +721,8 @@ class Chemeleon:
 
     def warmup(self, batch_sizes: Optional[List[int]] = None,
                buckets: Optional[List[int]] = None,
-               stream_chunk: Optional[int] = None) -> List[dict]:
+               stream_chunk: Optional[int] = None,
+               sample_steps: Optional[int] = None) -> List[dict]:
         """Precompile sampler programs for a (batch, bucket) grid.
 
         Every novel shape costs a fresh XLA compile (20-60 s through the TPU
@@ -668,7 +739,9 @@ class Chemeleon:
         if batch_sizes is None:
             batch_sizes = [2 ** i for i in range(0, 7)]  # 1..64 ladder
         timings = []
-        ts = jnp.arange(cfg.timesteps, 0, -1)
+        if sample_steps is None:
+            sample_steps = cfg.sample_steps
+        ts = strided_sample_ts(cfg.timesteps, sample_steps)
         for n in buckets:
             for B in batch_sizes:
                 for chunk in ({None, stream_chunk} if stream_chunk
@@ -677,9 +750,7 @@ class Chemeleon:
                     run = self._get_compiled_sampler(B, n, False, chunk)
                     natoms = jnp.full((B,), n, jnp.int32)
                     text = jnp.zeros((B, max(cfg.text_dim, 1)))
-                    tsc = (ts if chunk is None
-                           else jnp.arange(cfg.timesteps,
-                                           cfg.timesteps - chunk, -1))
+                    tsc = ts if chunk is None else ts[:chunk]
                     run.lower(self.params["decoder"], natoms, text, text,
                               jax.random.PRNGKey(0), 2.0, 1e-5,
                               tsc).compile()
@@ -724,22 +795,26 @@ class Chemeleon:
                cond_scale: float = 2.0, step_lr: float = 1e-5,
                return_trajectory: bool = False, stream: bool = False,
                key: Optional[jax.Array] = None,
-               stream_chunk: int = 100):
+               stream_chunk: int = 100,
+               sample_steps: Optional[int] = None):
         """Reference-parity sampling API (chemeleon.py:469-490)."""
         natoms = [n_atoms] * n_samples
         texts = [text_input] * n_samples if text_input is not None else None
         if stream:
             return self._sample_stream(natoms, texts, cond_scale, step_lr,
-                                       key, stream_chunk)
+                                       key, stream_chunk,
+                                       sample_steps=sample_steps)
         result = self.sample_batch(natoms, texts, cond_scale, step_lr, key,
-                                   return_trajectory=return_trajectory)
+                                   return_trajectory=return_trajectory,
+                                   sample_steps=sample_steps)
         if return_trajectory:
             return result.get_trajectory()
         return result
 
     def sample_csp(self, composition: str, n_samples: int, z: int = 1,
                    cond_scale: float = 2.0, step_lr: float = 1e-5,
-                   key: Optional[jax.Array] = None):
+                   key: Optional[jax.Array] = None,
+                   sample_steps: Optional[int] = None):
         """Crystal-structure-prediction sampling: atom types are fixed to
         ``z`` formula units of ``composition``; lattice + coords diffuse.
         Guarantees the exact composition by construction — the task CSPNet
@@ -758,7 +833,8 @@ class Chemeleon:
         natoms = [len(types)] * n_samples
         texts = ([comp] * n_samples if self.cfg.text_guide else None)
         return self.sample_batch(natoms, texts, cond_scale, step_lr, key,
-                                 fixed_types=[types] * n_samples)
+                                 fixed_types=[types] * n_samples,
+                                 sample_steps=sample_steps)
 
     def sample_batch_stream(self, natoms: List[int],
                             texts: Optional[List[str]] = None,
@@ -766,7 +842,8 @@ class Chemeleon:
                             key: Optional[jax.Array] = None,
                             stream_chunk: int = 100,
                             fixed_types=None, comp_prior=None,
-                            comp_prior_scale: float = 1.0):
+                            comp_prior_scale: float = 1.0,
+                            sample_steps: Optional[int] = None):
         """Batched streaming: one compiled chunked scan over a MIXED batch,
         yielding the whole batch's crystals every ``stream_chunk`` steps.
         This is what lets a server coalesce N concurrent streams into one
@@ -776,17 +853,26 @@ class Chemeleon:
         return self._sample_stream(natoms, texts, cond_scale, step_lr, key,
                                    stream_chunk, fixed_types=fixed_types,
                                    comp_prior=comp_prior,
-                                   comp_prior_scale=comp_prior_scale)
+                                   comp_prior_scale=comp_prior_scale,
+                                   sample_steps=sample_steps)
 
     def _sample_stream(self, natoms, texts, cond_scale, step_lr, key,
                        chunk: int, fixed_types=None, comp_prior=None,
-                       comp_prior_scale: float = 1.0):
+                       comp_prior_scale: float = 1.0,
+                       sample_steps: Optional[int] = None):
         """Generator yielding crystals every ``chunk`` steps via chunked scans
         (the jit-compatible analog of the reference's per-step streaming,
-        chemeleon.py:379-467 / app/server.py:22-47)."""
+        chemeleon.py:379-467 / app/server.py:22-47). With ``sample_steps``
+        the chunks walk the strided (t, s) ladder instead — same yield
+        cadence in chunks, ~T/K less compute per stream."""
         cfg = self.cfg
-        if cfg.timesteps % chunk != 0:
-            raise ValueError("chunk must divide timesteps")
+        if sample_steps is None:
+            sample_steps = cfg.sample_steps
+        ladder = strided_sample_ts(cfg.timesteps, sample_steps)
+        total = ladder.shape[0]
+        if total % chunk != 0:
+            raise ValueError("chunk must divide the number of sampler steps "
+                             f"({total})")
         batch0, text_embeds, null_embeds, key = \
             self._prepare_sampling_inputs(natoms, texts, key)
         B, N = batch0.atom_types.shape
@@ -799,8 +885,8 @@ class Chemeleon:
         state, _ = init_sampler_state(key, batch0.natoms, N,
                                       fixed_types=ftypes)
         natoms_np = np.asarray(batch0.natoms)
-        for start in range(cfg.timesteps, 0, -chunk):
-            ts = jnp.arange(start, start - chunk, -1)
+        for start in range(0, total, chunk):
+            ts = ladder[start:start + chunk]
             state, _ = run(self.params["decoder"], batch0.natoms, text_embeds,
                            null_embeds, key, cond_scale, step_lr, ts,
                            state_in=state, fixed_types=ftypes,

@@ -77,7 +77,8 @@ class _StreamJob:
 class ChemeleonServer:
     def __init__(self, model=None, host: str = "0.0.0.0", port: int = 8000,
                  stream_chunk: int = 100, model_kind: str = "general_text",
-                 max_batch: int = 64, batch_window_s: float = 0.05):
+                 max_batch: int = 64, batch_window_s: float = 0.05,
+                 sample_steps: int = 0):
         if model is None:
             from chemeleon_tpu.models.chemeleon import Chemeleon
             if model_kind == "general_text":
@@ -90,6 +91,11 @@ class ChemeleonServer:
         self.stream_chunk = stream_chunk
         self.max_batch = max_batch
         self.batch_window_s = batch_window_s
+        # deployment-wide few-step knob (0 = full schedule): a coalesced
+        # batch shares ONE compiled program, so K is per-server, not
+        # per-request. ~timesteps/K throughput for a measured validity
+        # cost (BENCH.md few-step table).
+        self.sample_steps = int(sample_steps)
         self._lock = threading.Lock()  # one compiled scan at a time
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._queue: "queue.Queue[_PendingRequest]" = queue.Queue()
@@ -183,7 +189,8 @@ class ChemeleonServer:
                         natoms, texts,
                         comp_prior=(priors if any(p is not None
                                                   for p in priors) else None),
-                        comp_prior_scale=scales)
+                        comp_prior_scale=scales,
+                        sample_steps=self.sample_steps or None)
                 self.batch_calls += 1
                 i = 0
                 for r in batch:
@@ -205,7 +212,10 @@ class ChemeleonServer:
         N same-window streams cost ~1 scan of batch N instead of N
         serialized scans (round-2 VERDICT item 6: stream throughput used to
         degrade ~linearly with client count)."""
-        total_steps = self.model.cfg.timesteps
+        # with few-step sampling the stream walks K strided steps; the
+        # "step" labels count remaining SCHEDULE steps (K..0), same shape
+        # as the full-schedule labels (T..0)
+        total_steps = self.sample_steps or self.model.cfg.timesteps
         chunk = self.stream_chunk
         if total_steps % chunk != 0:
             chunk = 1
@@ -222,8 +232,9 @@ class ChemeleonServer:
                 natoms.append(batch[0].n_atoms)
                 texts.append(batch[0].text)
             try:
-                gen = self.model.sample_batch_stream(natoms, texts,
-                                                     stream_chunk=chunk)
+                gen = self.model.sample_batch_stream(
+                    natoms, texts, stream_chunk=chunk,
+                    sample_steps=self.sample_steps or None)
                 t = total_steps
                 while True:
                     # hold the device lock per CHUNK so /generate batches
@@ -410,10 +421,11 @@ class ChemeleonServer:
                 ladder.append(b)
                 b *= 2
             chunk = self.stream_chunk
-            if self.model.cfg.timesteps % chunk != 0:
+            if (self.sample_steps or self.model.cfg.timesteps) % chunk != 0:
                 chunk = 1
             timings = self.model.warmup(batch_sizes=ladder,
-                                        stream_chunk=chunk)
+                                        stream_chunk=chunk,
+                                        sample_steps=self.sample_steps)
             print(f"warmup: {len(timings)} programs, "
                   f"{sum(t['seconds'] for t in timings):.1f}s")
         self._httpd = ThreadingHTTPServer((self.host, self.port),
@@ -475,10 +487,16 @@ def main():
     ap.add_argument("--warmup", action="store_true",
                     help="precompile the dynamic-batching shape grid before "
                          "accepting traffic")
+    ap.add_argument("--sample-steps", type=int, default=0,
+                    help="few-step sampling for the whole deployment: K < "
+                         "timesteps strided reverse steps per sample (~T/K "
+                         "throughput, measured validity cost — BENCH.md); "
+                         "0 = full schedule")
     args = ap.parse_args()
     ChemeleonServer(host=args.host, port=args.port,
                     stream_chunk=args.stream_chunk,
-                    model_kind=args.model_kind).run(warmup=args.warmup)
+                    model_kind=args.model_kind,
+                    sample_steps=args.sample_steps).run(warmup=args.warmup)
 
 
 if __name__ == "__main__":
