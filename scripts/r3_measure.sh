@@ -187,6 +187,19 @@ phase_fullprotocol() {
   log "full protocol exit=$?"; tail -5 /tmp/fullproto.log
 }
 
+phase_fewstep() {
+  # validity/throughput frontier of the strided sampler (K < 1000 reverse
+  # steps) on the composition flagship — the round-3 few-step feature has
+  # never been measured on-chip
+  local model=logs/mp40_comp/checkpoints/best
+  [ -d logs/mp40_comp_aug/checkpoints/best ] && \
+    model=logs/mp40_comp_aug/checkpoints/best
+  log "few-step probe start: model=$model"
+  timeout 7200 python -m chemeleon_tpu.scripts.probe_fewstep \
+    --model "$model" --out results/fewstep.json > /tmp/fewstep.log 2>&1
+  log "fewstep exit=$?"; tail -4 /tmp/fewstep.log
+}
+
 phase_unroll() {
   log "scan-unroll experiment at N=40/B=32"
   for u in 1 2; do
