@@ -178,10 +178,14 @@ phase_emavalid() {
 
 phase_fullprotocol() {
   # the reference evaluation protocol at full scale: 706 rows x 20 samples
-  # (evaluate.py:26-28), resumable generation cache
-  log "full protocol start (expect ~2 h)"
+  # (evaluate.py:26-28), resumable generation cache; prefers the augmented
+  # flagship (the composition-following model) when present
+  local model=logs/mp40_comp/checkpoints/best
+  [ -d logs/mp40_comp_aug/checkpoints/best ] && \
+    model=logs/mp40_comp_aug/checkpoints/best
+  log "full protocol start: model=$model (expect ~2 h)"
   timeout 10000 python -m chemeleon_tpu.cli evaluate \
-    -m logs/mp40_comp/checkpoints/best \
+    -m "$model" \
     --n-samples 20 --cache-generation \
     --save-path results/full_protocol > /tmp/fullproto.log 2>&1
   log "full protocol exit=$?"; tail -5 /tmp/fullproto.log
@@ -198,6 +202,40 @@ phase_fewstep() {
   timeout 7200 python -m chemeleon_tpu.scripts.probe_fewstep \
     --model "$model" --out results/fewstep.json > /tmp/fewstep.log 2>&1
   log "fewstep exit=$?"; tail -4 /tmp/fewstep.log
+}
+
+phase_systrain() {
+  # crystal-system conditioning flagship: the composition+crystal_system
+  # preset (both text targets featurized offline) with the mp40_comp_aug
+  # recipe — the second conditioning axis, never yet trained
+  log "mp40_sys train start"
+  timeout 7200 python -m chemeleon_tpu.scripts.train_resilient --retries 4 \
+    --ckpt "logs/mp40_sys/checkpoints/last" \
+    "--resume-flag=--resume-from=" -- \
+    python -m chemeleon_tpu.scripts.smoke_train \
+      --exp-name mp40_sys --preset chemeleon_composition_crystal_system \
+      --hidden 512 --layers 6 --batch 64 --lr 5e-4 --scheduler cosine \
+      --epochs 600 --ckpt-every 25 --ema-decay 0.999 --watchdog 900 \
+      --aug-sub 0.5 --eval-rows 0 --eval-samples 0 > /tmp/sys_train.log 2>&1
+  log "sys train exit=$?"; tail -3 /tmp/sys_train.log
+}
+
+phase_syseval() {
+  # (a) held-out 20-sample eval with system-bearing prompts -> does
+  # crystal_system_matching move off the 0.13 unconditioned floor?
+  # (b) controlled steering probe: same composition x 7 system words
+  log "sys held-out eval"
+  timeout 5400 python -m chemeleon_tpu.cli evaluate \
+    -m logs/mp40_sys/checkpoints/best \
+    --test-data .data_cache/mp40-smoke/test.csv --n-samples 20 \
+    --cache-generation --save-path results/mp40_sys_eval \
+    > /tmp/syseval.log 2>&1
+  log "syseval exit=$?"; tail -3 /tmp/syseval.log
+  log "system steering probe"
+  timeout 5400 python -m chemeleon_tpu.scripts.probe_system \
+    --model logs/mp40_sys/checkpoints/best \
+    --out results/system_steering.json > /tmp/sysprobe.log 2>&1
+  log "sysprobe exit=$?"; tail -3 /tmp/sysprobe.log
 }
 
 phase_unroll() {
