@@ -61,6 +61,10 @@ def probe(model, steps_ladder, per_bucket: int, seed: int = 0):
         raw_rows = list(csv.DictReader(f))
     random.Random(0).shuffle(raw_rows)
     fit = {b: _fitting_rows(raw_rows, b - 8, b, per_bucket) for b in CHUNK}
+    # trim to whole chunks: a ragged tail is a new (B, N, K) compile per K
+    # (~40 s each through the tunnel) for 3 rows of signal
+    fit = {b: rows[: len(rows) - len(rows) % CHUNK[b]]
+           for b, rows in fit.items()}
     canon = {c: reduced_formula_alphabetical(
         reduced_composition(parse_composition(c)))
         for b in fit for c, _ in fit[b]}
@@ -82,7 +86,12 @@ def probe(model, steps_ladder, per_bucket: int, seed: int = 0):
                 crystals = model.sample_batch(natoms, texts, key=key,
                                               sample_steps=K or None)
                 elapsed = time.perf_counter() - t0
-                if i > 0:  # first chunk pays the compile; time the rest
+                # first chunk pays the compile; a ragged final chunk is a
+                # NEW (B, N, K) shape that would pay another compile inside
+                # the timed window (measured: it polluted bucket-32 sps 6x
+                # low, /tmp/diag_mixed.log exonerated steady-state calls at
+                # 6.2s) — time only full-size steady-state chunks
+                if i > 0 and len(part) == chunk:
                     timed_s += elapsed
                     timed_n += len(part)
                 for c, text in zip(crystals, texts):
@@ -127,8 +136,14 @@ def main():
     ap.add_argument("--per-bucket", type=int, default=128)
     ap.add_argument("--steps", type=int, nargs="+",
                     default=[0, 250, 100, 50, 20])  # 0 = full chain
+    ap.add_argument("--buckets", type=int, nargs="+",
+                    default=sorted(CHUNK),
+                    help="restrict to a subset of the atom-count buckets")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
+    for b in list(CHUNK):
+        if b not in args.buckets:
+            del CHUNK[b]
 
     from chemeleon_tpu.models.chemeleon import Chemeleon
     model = Chemeleon.load_from_checkpoint(args.model)
