@@ -52,12 +52,18 @@ Examples:
 @click.option("--comp-prior-scale", default=0.0, show_default=True,
               help="Composition-prior guidance strength per enumerated "
                    "composition (softer than --csp).")
+@click.option("--sample-steps", default=0, show_default=True,
+              help="Few-step sampling: K < timesteps strided reverse steps "
+                   "(~T/K faster — BENCH.md few-step table). 0 = full "
+                   "schedule.")
 def cli_navigate_chemical_system(elements, n_samples, max_stoich, max_natoms,
-                                 max_factor, save_dir, csp, comp_prior_scale):
+                                 max_factor, save_dir, csp, comp_prior_scale,
+                                 sample_steps):
     navigate_chemical_system(
         elements=elements.split(","), n_samples=n_samples,
         max_stoich=max_stoich, max_natoms=max_natoms, max_factor=max_factor,
-        save_dir=save_dir, csp=csp, comp_prior_scale=comp_prior_scale)
+        save_dir=save_dir, csp=csp, comp_prior_scale=comp_prior_scale,
+        sample_steps=sample_steps)
 
 
 @cli.group(help="Commands related to sampling target compositions or prompts")
@@ -93,13 +99,18 @@ Examples:
               help="Composition-prior guidance strength: > 0 biases free "
                    "type diffusion toward the target element fractions "
                    "(softer than --csp, stronger than text guidance alone).")
+@click.option("--sample-steps", default=0, show_default=True,
+              help="Few-step sampling: K < timesteps strided reverse steps "
+                   "(~T/K faster — BENCH.md few-step table). 0 = full "
+                   "schedule.")
 def cli_sample_target_composition(target_composition, n_samples, max_natoms,
                                   max_factor, save_dir, csp,
-                                  comp_prior_scale):
+                                  comp_prior_scale, sample_steps):
     sample_target_composition(
         target_composition=target_composition, n_samples=n_samples,
         max_natoms=max_natoms, max_factor=max_factor, save_dir=save_dir,
-        csp=csp, comp_prior_scale=comp_prior_scale)
+        csp=csp, comp_prior_scale=comp_prior_scale,
+        sample_steps=sample_steps)
 
 
 @sample.command(
@@ -121,9 +132,15 @@ Examples:
 @click.option("--n-samples", default=3, show_default=True,
               help="Number of samples to generate.")
 @click.option("--save-dir", "-s", default="results/prompt")
-def cli_sample_prompt(text_input, n_atoms, n_samples, save_dir):
+@click.option("--sample-steps", default=0, show_default=True,
+              help="Few-step sampling: K < timesteps strided reverse steps "
+                   "(~T/K faster — BENCH.md few-step table). 0 = full "
+                   "schedule.")
+def cli_sample_prompt(text_input, n_atoms, n_samples, save_dir,
+                      sample_steps):
     sample_prompt(text_input=text_input, n_atoms=n_atoms,
-                  n_samples=n_samples, save_dir=save_dir)
+                  n_samples=n_samples, save_dir=save_dir,
+                  sample_steps=sample_steps)
 
 
 @cli.command(name="evaluate",

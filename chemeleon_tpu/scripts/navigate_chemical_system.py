@@ -45,7 +45,8 @@ def navigate_chemical_system(elements: List[str] = ("Zn", "Ti", "O"),
                              max_natoms: int = 40, max_factor: int = 13,
                              save_dir: str = "results/navigate",
                              model=None, key=None, csp: bool = False,
-                             comp_prior_scale: float = 0.0) -> List[Crystal]:
+                             comp_prior_scale: float = 0.0,
+                             sample_steps: int = 0) -> List[Crystal]:
     """``csp``/``comp_prior_scale`` mirror the composition workflow: clamp or
     bias atom types per enumerated formula (sample_target_composition.py
     docstring) — the navigate filter accepts any in-system composition, so
@@ -88,17 +89,21 @@ def navigate_chemical_system(elements: List[str] = ("Zn", "Ti", "O"),
                   f"with {n_atoms} atoms...")
             if csp:
                 gen_list = model.sample_csp(formula, n_samples=n_samples,
-                                            z=f, key=key)
+                                            z=f, key=key,
+                                            sample_steps=sample_steps
+                                            or None)
             elif comp_prior_scale > 0:
                 gen_list = model.sample_batch(
                     [n_atoms] * n_samples,
                     ([formula] * n_samples if model.cfg.text_guide
                      else None),
                     key=key, comp_prior=[formula] * n_samples,
-                    comp_prior_scale=comp_prior_scale)
+                    comp_prior_scale=comp_prior_scale,
+                    sample_steps=sample_steps or None)
             else:
                 gen_list = model.sample(text_input=formula, n_atoms=n_atoms,
-                                        n_samples=n_samples, key=key)
+                                        n_samples=n_samples, key=key,
+                                        sample_steps=sample_steps or None)
             if gen_list is None:
                 continue
             for st in gen_list:

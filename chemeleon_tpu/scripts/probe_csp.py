@@ -27,7 +27,7 @@ TARGETS = [("TiO2", 2), ("NaCl", 3), ("Fe2O3", 2), ("LiMnO4", 1),
            ("SrTiO3", 2)]
 
 
-def probe(model, n_samples: int, seed: int = 0):
+def probe(model, n_samples: int, seed: int = 0, sample_steps: int = 0):
     from chemeleon_tpu.chem.composition import (
         parse_composition, reduced_composition,
         reduced_formula_alphabetical)
@@ -40,7 +40,8 @@ def probe(model, n_samples: int, seed: int = 0):
         comp = reduced_formula_alphabetical(
             reduced_composition(parse_composition(target)))
         key = jax.random.fold_in(jax.random.PRNGKey(seed), ti)
-        crystals = model.sample_csp(comp, n_samples, z=z, key=key)
+        crystals = model.sample_csp(comp, n_samples, z=z, key=key,
+                                    sample_steps=sample_steps or None)
         n_valid = n_relaxed = n_exact = 0
         for c in crystals:
             n_exact += c.reduced_formula() == comp
@@ -72,12 +73,15 @@ def main():
                     help="diffusion checkpoint dir (orbax)")
     ap.add_argument("--n-samples", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sample-steps", type=int, default=0,
+                    help="few-step CSP: K strided reverse steps (0 = full "
+                         "chain) — exact composition at deployment speed")
     ap.add_argument("--out", default="results/csp_probe.json")
     args = ap.parse_args()
 
     from chemeleon_tpu.models.chemeleon import Chemeleon
     model = Chemeleon.load_from_checkpoint(args.model)
-    result = probe(model, args.n_samples, args.seed)
+    result = probe(model, args.n_samples, args.seed, args.sample_steps)
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)

@@ -11,7 +11,7 @@ def sample_prompt(text_input: str = ("A Crystal structure of LiMnO4 with "
                                      "orthorhombic symmetry"),
                   n_samples: int = 3, n_atoms: int = 6,
                   save_dir: str = "results/prompt", model=None,
-                  key=None):
+                  key=None, sample_steps: int = 0):
     from chemeleon_tpu.models.chemeleon import Chemeleon
 
     if model is None:
@@ -24,7 +24,8 @@ def sample_prompt(text_input: str = ("A Crystal structure of LiMnO4 with "
     print(f"Sampling {n_samples} structures for {text_input} "
           f"with {n_atoms} atoms...")
     gen_list = model.sample(text_input=text_input, n_atoms=n_atoms,
-                            n_samples=n_samples, key=key)
+                            n_samples=n_samples, key=key,
+                            sample_steps=sample_steps or None)
     if gen_list is None:
         print("Sampling failed")
         return None

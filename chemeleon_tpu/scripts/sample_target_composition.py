@@ -25,7 +25,8 @@ def sample_target_composition(target_composition: str = "TiO2",
                               save_dir: str = "results/TiO2",
                               model=None, key=None,
                               csp: bool = False,
-                              comp_prior_scale: float = 0.0) -> List[Crystal]:
+                              comp_prior_scale: float = 0.0,
+                              sample_steps: int = 0) -> List[Crystal]:
     """``csp=True`` clamps atom types to the target composition (CSP mode,
     models/chemeleon.py sampler_step) so every sample passes the exact
     composition filter by construction; the text-guided default mirrors the
@@ -62,16 +63,19 @@ def sample_target_composition(target_composition: str = "TiO2",
               f"with {n_atoms} atoms...")
         if csp:
             gen_list = model.sample_csp(comp, n_samples=n_samples, z=f,
-                                        key=key)
+                                        key=key,
+                                        sample_steps=sample_steps or None)
         elif comp_prior_scale > 0:
             gen_list = model.sample_batch(
                 [n_atoms] * n_samples,
                 [comp] * n_samples if model.cfg.text_guide else None,
                 key=key, comp_prior=[comp] * n_samples,
-                comp_prior_scale=comp_prior_scale)
+                comp_prior_scale=comp_prior_scale,
+                sample_steps=sample_steps or None)
         else:
             gen_list = model.sample(text_input=comp, n_atoms=n_atoms,
-                                    n_samples=n_samples, key=key)
+                                    n_samples=n_samples, key=key,
+                                    sample_steps=sample_steps or None)
         if gen_list is None:
             continue
         for st in gen_list:

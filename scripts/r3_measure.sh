@@ -238,6 +238,18 @@ phase_syseval() {
   log "sysprobe exit=$?"; tail -3 /tmp/sysprobe.log
 }
 
+phase_cspfewstep() {
+  # exact composition AT deployment speed: CSP clamp + K=50 strided steps
+  local model=logs/mp40_comp/checkpoints/best
+  [ -d logs/mp40_comp_aug/checkpoints/best ] && \
+    model=logs/mp40_comp_aug/checkpoints/best
+  log "CSP few-step probe (K=50): model=$model"
+  timeout 3600 python -m chemeleon_tpu.scripts.probe_csp \
+    --model "$model" --sample-steps 50 \
+    --out results/csp_fewstep.json > /tmp/csp_fewstep.log 2>&1
+  log "cspfewstep exit=$?"; tail -3 /tmp/csp_fewstep.log
+}
+
 phase_unroll() {
   log "scan-unroll experiment at N=40/B=32"
   for u in 1 2; do
