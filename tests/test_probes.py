@@ -1,0 +1,64 @@
+"""CPU smokes for the on-chip measurement probes (scripts/probe_*.py).
+
+The probes are how every capability claim in BENCH.md gets measured; these
+smokes run their full control flow (sampling, detection, aggregation) with
+a tiny random-init model so an API change cannot silently break the next
+on-chip measurement run.
+"""
+
+import jax
+import pytest
+
+from chemeleon_tpu import Chemeleon, get_config
+
+TINY = dict(hidden_dim=32, time_dim=16, num_layers=1, num_freqs=8,
+            timesteps=10, text_embed_dim=32, text_dim=32)
+
+
+@pytest.fixture(scope="module")
+def comp_model():
+    cfg = get_config("chemeleon_composition_crystal_system", **TINY)
+    m = Chemeleon(cfg)
+    m.init_params(jax.random.PRNGKey(0))
+    return m
+
+
+def test_probe_system_smoke(comp_model, monkeypatch):
+    import chemeleon_tpu.scripts.probe_system as ps
+
+    monkeypatch.setattr(ps, "TARGETS", ps.TARGETS[:1])
+    monkeypatch.setattr(ps, "SYSTEMS", ("cubic", "triclinic"))
+    out = ps.probe(comp_model, n_samples=1, seed=0)
+    assert set(out["by_system"]) == {"cubic", "triclinic"}
+    for s, d in out["by_system"].items():
+        assert d["n"] == 1
+        assert abs(sum(d["raw_dist"].values()) - 1.0) < 1e-9
+        assert 0.0 <= d["follow"] <= 1.0
+    # a random-init model cannot steer; aggregate stats must still be finite
+    assert 0.0 <= out["follow_mean"] <= 1.0
+    assert 0.0 <= out["baseline_match_mean"] <= 1.0
+
+
+def test_probe_fewstep_smoke(comp_model, monkeypatch):
+    import chemeleon_tpu.scripts.probe_fewstep as pf
+
+    monkeypatch.setattr(pf, "CHUNK", {16: 2})
+    out = pf.probe(comp_model, steps_ladder=[0, 5], per_bucket=4)
+    assert set(out) == {"full", "5"}
+    for d in out.values():
+        b = d["buckets"]["16"]
+        assert b["n"] == 4
+        # 2 chunks of 2: exactly one steady-state timed chunk
+        assert b["structures_per_sec"] is None or \
+            b["structures_per_sec"] > 0
+        assert 0.0 <= d["valid"] <= d["valid_relaxed"] <= 1.0
+
+
+def test_probe_csp_fewstep_smoke(comp_model, monkeypatch):
+    import chemeleon_tpu.scripts.probe_csp as pc
+
+    monkeypatch.setattr(pc, "TARGETS", pc.TARGETS[:1])
+    out = pc.probe(comp_model, n_samples=2, sample_steps=5)
+    comp, = [k for k in out if not k.startswith("_")]
+    assert out[comp]["exact_composition"] == 1.0  # CSP clamp guarantees it
+    assert out["_mean"]["valid_relaxed"] >= out["_mean"]["valid_raw"]
