@@ -18,6 +18,19 @@ Steering shows up two ways, both reported per prompted system:
 against the baseline column = the no-system prompt's detected-system
 marginal (what you'd score by chance without steering).
 
+Because raw diffusion output almost never passes exact symmetry detection
+(the first run classified 98.75% of ALL samples triclinic regardless of
+prompt), the probe also records per-sample lattice parameters and reports
+CONTINUOUS steering statistics per prompted system — far more sensitive
+than the hard classifier:
+  angle_dev90   mean |angle - 90deg| over the 3 cell angles (cubic/
+                tetragonal/orthorhombic prompts should push this DOWN)
+  angle_dev120  min over angles of |angle - 120deg| (hexagonal/trigonal
+                prompts should push this down)
+  len_cv        std/mean of (a, b, c) (cubic prompts should push this down)
+Each comes with a standard error so a flat negative is distinguishable
+from an underpowered probe.
+
 Usage (on-chip, one TPU process at a time):
     python -m chemeleon_tpu.scripts.probe_system \
         --model logs/mp40_sys/checkpoints/best \
@@ -58,6 +71,8 @@ def _detect(crystal, relax_calc) -> tuple:
     from chemeleon_tpu.eval.optimize import fire_relax
 
     raw = _crystal_system(crystal)
+    if relax_calc is None:
+        return raw, raw
     try:
         relaxed, _ = fire_relax(crystal, relax_calc, steps=60)
         rel = _crystal_system(relaxed)
@@ -66,14 +81,37 @@ def _detect(crystal, relax_calc) -> tuple:
     return raw, rel
 
 
-def probe(model, n_samples: int, seed: int = 0):
+def _lattice_stats(lps) -> dict:
+    """Continuous symmetry statistics over per-sample lattice params.
+
+    lps: list of (a, b, c, alpha, beta, gamma). Returns means + standard
+    errors for the three steering-sensitive statistics documented in the
+    module docstring."""
+    import numpy as np
+
+    lps = np.asarray(lps, dtype=np.float64)  # [n, 6]
+    n = len(lps)
+    abc, ang = lps[:, :3], lps[:, 3:]
+    dev90 = np.abs(ang - 90.0).mean(axis=1)           # [n]
+    dev120 = np.abs(ang - 120.0).min(axis=1)          # [n]
+    cv = abc.std(axis=1) / abc.mean(axis=1)           # [n]
+
+    def _ms(x):
+        se = float(x.std(ddof=1) / np.sqrt(n)) if n > 1 else 0.0
+        return {"mean": float(x.mean()), "se": se}
+
+    return {"n": n, "angle_dev90": _ms(dev90), "angle_dev120": _ms(dev120),
+            "len_cv": _ms(cv)}
+
+
+def probe(model, n_samples: int, seed: int = 0, relax: bool = True):
     from chemeleon_tpu.eval.optimize import SoftSphereCalculator
 
-    calc = SoftSphereCalculator(radius_scale=0.6)
+    calc = SoftSphereCalculator(radius_scale=0.6) if relax else None
     prompts = [None] + list(SYSTEMS)  # None = no-system baseline
-    per_system = {s: {"n": 0, "raw": Counter(), "rel": Counter()}
+    per_system = {s: {"n": 0, "raw": Counter(), "rel": Counter(), "lp": []}
                   for s in SYSTEMS}
-    baseline = {"n": 0, "raw": Counter(), "rel": Counter()}
+    baseline = {"n": 0, "raw": Counter(), "rel": Counter(), "lp": []}
 
     for ti, (target, z) in enumerate(TARGETS):
         red = reduced_composition(parse_composition(target))
@@ -92,6 +130,7 @@ def probe(model, n_samples: int, seed: int = 0):
                 agg["n"] += 1
                 agg["raw"][raw] += 1
                 agg["rel"][rel] += 1
+                agg["lp"].append([float(x) for x in c.lattice_params])
             if sys_word is not None:
                 f = per_system[sys_word]["raw"][sys_word] / per_system[
                     sys_word]["n"]
@@ -102,7 +141,9 @@ def probe(model, n_samples: int, seed: int = 0):
         n = agg["n"]
         return {"n": n,
                 "raw_dist": {s: agg["raw"][s] / n for s in SYSTEMS},
-                "rel_dist": {s: agg["rel"][s] / n for s in SYSTEMS}}
+                "rel_dist": {s: agg["rel"][s] / n for s in SYSTEMS},
+                "lattice_stats": _lattice_stats(agg["lp"]),
+                "lattice_params": agg["lp"]}
 
     out = {"baseline": _pack(baseline), "by_system": {}}
     for s in SYSTEMS:
@@ -127,19 +168,36 @@ def main():
     ap.add_argument("--out", default="results/system_steering.json")
     ap.add_argument("--n-samples", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-relax", action="store_true",
+                    help="skip the FIRE relax pass (fast lattice-stats run;"
+                         " rel_dist then duplicates raw_dist)")
     args = ap.parse_args()
 
     from chemeleon_tpu.models.chemeleon import Chemeleon
     model = Chemeleon.load_from_checkpoint(args.model)
     results = {"model": args.model, "n_samples": args.n_samples,
                "cond_scale": 2.0,
-               **probe(model, args.n_samples, args.seed)}
+               **probe(model, args.n_samples, args.seed,
+                       relax=not args.no_relax)}
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     Path(args.out).write_text(json.dumps(results, indent=1))
     print(f"wrote {args.out}")
     print(json.dumps({k: results[k] for k in
                       ("follow_mean", "follow_rel_mean",
                        "baseline_match_mean")}))
+    bs = results["baseline"]["lattice_stats"]
+    print(f"{'prompt':>13}  angle_dev90        angle_dev120       len_cv")
+    print(f"{'(baseline)':>13}  {bs['angle_dev90']['mean']:6.3f}±"
+          f"{bs['angle_dev90']['se']:5.3f}      "
+          f"{bs['angle_dev120']['mean']:6.3f}±{bs['angle_dev120']['se']:5.3f}"
+          f"      {bs['len_cv']['mean']:6.4f}±{bs['len_cv']['se']:6.4f}")
+    for s in SYSTEMS:
+        ls = results["by_system"][s]["lattice_stats"]
+        print(f"{s:>13}  {ls['angle_dev90']['mean']:6.3f}±"
+              f"{ls['angle_dev90']['se']:5.3f}      "
+              f"{ls['angle_dev120']['mean']:6.3f}±"
+              f"{ls['angle_dev120']['se']:5.3f}      "
+              f"{ls['len_cv']['mean']:6.4f}±{ls['len_cv']['se']:6.4f}")
 
 
 if __name__ == "__main__":

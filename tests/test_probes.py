@@ -37,6 +37,24 @@ def test_probe_system_smoke(comp_model, monkeypatch):
     # a random-init model cannot steer; aggregate stats must still be finite
     assert 0.0 <= out["follow_mean"] <= 1.0
     assert 0.0 <= out["baseline_match_mean"] <= 1.0
+    # continuous lattice statistics (the sensitive steering readout)
+    import math
+    for agg in [out["baseline"], *out["by_system"].values()]:
+        ls = agg["lattice_stats"]
+        assert ls["n"] == agg["n"] == len(agg["lattice_params"])
+        for k in ("angle_dev90", "angle_dev120", "len_cv"):
+            assert math.isfinite(ls[k]["mean"]) and ls[k]["mean"] >= 0.0
+            assert math.isfinite(ls[k]["se"])
+
+
+def test_probe_system_no_relax(comp_model, monkeypatch):
+    import chemeleon_tpu.scripts.probe_system as ps
+
+    monkeypatch.setattr(ps, "TARGETS", ps.TARGETS[:1])
+    monkeypatch.setattr(ps, "SYSTEMS", ("cubic",))
+    out = ps.probe(comp_model, n_samples=2, seed=0, relax=False)
+    d = out["by_system"]["cubic"]
+    assert d["raw_dist"] == d["rel_dist"]  # relax skipped => identical
 
 
 def test_probe_fewstep_smoke(comp_model, monkeypatch):
