@@ -103,14 +103,20 @@ Examples:
               help="Few-step sampling: K < timesteps strided reverse steps "
                    "(~T/K faster — BENCH.md few-step table). 0 = full "
                    "schedule.")
+@click.option("--lattice-system", default=None,
+              help="Clamp the cell to this crystal system's metric "
+                   "constraints every reverse step (e.g. cubic, hexagonal) "
+                   "— exact lattice system by construction; composable "
+                   "with --csp.")
 def cli_sample_target_composition(target_composition, n_samples, max_natoms,
                                   max_factor, save_dir, csp,
-                                  comp_prior_scale, sample_steps):
+                                  comp_prior_scale, sample_steps,
+                                  lattice_system):
     sample_target_composition(
         target_composition=target_composition, n_samples=n_samples,
         max_natoms=max_natoms, max_factor=max_factor, save_dir=save_dir,
         csp=csp, comp_prior_scale=comp_prior_scale,
-        sample_steps=sample_steps)
+        sample_steps=sample_steps, lattice_system=lattice_system)
 
 
 @sample.command(
@@ -136,11 +142,15 @@ Examples:
               help="Few-step sampling: K < timesteps strided reverse steps "
                    "(~T/K faster — BENCH.md few-step table). 0 = full "
                    "schedule.")
+@click.option("--lattice-system", default=None,
+              help="Clamp the cell to this crystal system's metric "
+                   "constraints every reverse step (exact lattice system "
+                   "by construction).")
 def cli_sample_prompt(text_input, n_atoms, n_samples, save_dir,
-                      sample_steps):
+                      sample_steps, lattice_system):
     sample_prompt(text_input=text_input, n_atoms=n_atoms,
                   n_samples=n_samples, save_dir=save_dir,
-                  sample_steps=sample_steps)
+                  sample_steps=sample_steps, lattice_system=lattice_system)
 
 
 @cli.command(name="evaluate",

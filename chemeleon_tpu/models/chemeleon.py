@@ -213,7 +213,8 @@ def sampler_step(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
                  cond_scale: float, step_lr: float,
                  fixed_types: Optional[jnp.ndarray] = None,
                  type_prior: Optional[jnp.ndarray] = None,
-                 s: Optional[jnp.ndarray] = None) -> SamplerState:
+                 s: Optional[jnp.ndarray] = None,
+                 lattice_sys: Optional[jnp.ndarray] = None) -> SamplerState:
     """One reverse step t -> t-1 (predictor + corrector).
 
     ``s`` switches to the strided (few-step) update t -> s for an arbitrary
@@ -239,7 +240,16 @@ def sampler_step(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
     logits (composition-prior guidance — classifier guidance with an analytic
     classifier): types still diffuse freely, but each ancestral step is
     steered toward the target element fractions. Softer than CSP (atom
-    counts/stoichiometry stay free), stronger than text guidance alone."""
+    counts/stoichiometry stay free), stronger than text guidance alone.
+
+    ``lattice_sys`` [B] int32 (ops/lattice_proj.SYSTEM_IDS; 0 = free) clamps
+    each row's lattice to its prompted lattice-system metric constraints
+    after every reverse update — the symmetry analog of ``fixed_types``,
+    motivated by the measured steering gap (BENCH.md "Crystal-system
+    conditioning": prompts pull lattice geometry up to 8.7 sigma but never
+    reach exact symmetry). The chain then diffuses within the constraint
+    manifold and the final cell satisfies the prompted lattice system by
+    construction."""
     B, N = state.atom_types.shape
     C = cfg.max_atoms
     lmask = jnp.asarray(MASK_LATTICE_MATRIX)
@@ -296,6 +306,9 @@ def sampler_step(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
                   + jnp.sqrt(jnp.clip(var, 0.0)) * rand_l)
     l_next = l_next * lmask
     l_next = jnp.where(t == T, jnp.clip(l_next, -6.0, 6.0), l_next)
+    if lattice_sys is not None:
+        from chemeleon_tpu.ops.lattice_proj import project_lattice_system
+        l_next = project_lattice_system(l_next, lattice_sys) * lmask
 
     # coords half-step: VE ancestral (chemeleon.py:426-437); the strided
     # path anneals straight to sigma[s] (sigmas[0] == 0, so the final jump
@@ -324,16 +337,22 @@ def sampler_step(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
 def init_sampler_state(key: jax.Array, natoms: jnp.ndarray,
                        n_max: int,
                        fixed_types: Optional[jnp.ndarray] = None,
+                       lattice_sys: Optional[jnp.ndarray] = None,
                        ) -> Tuple[SamplerState, jnp.ndarray]:
     """Pure-noise init (chemeleon.py:346-349): a_T all-dummy, l_T masked
     N(0,1), x_T N(0,1) wrapped. In CSP mode (``fixed_types``) a_T starts at
-    the known types instead of the absorbing state."""
+    the known types instead of the absorbing state. ``lattice_sys`` projects
+    l_T onto the prompted lattice-system manifold so even the FIRST decoder
+    call sees an in-class cell (see sampler_step)."""
     B = natoms.shape[0]
     k_l, k_x = jax.random.split(key)
     lmask = jnp.asarray(MASK_LATTICE_MATRIX)
     a_T = (jnp.zeros((B, n_max), jnp.int32) if fixed_types is None
            else fixed_types.astype(jnp.int32))
     l_T = jax.random.normal(k_l, (B, 3, 3)) * lmask
+    if lattice_sys is not None:
+        from chemeleon_tpu.ops.lattice_proj import project_lattice_system
+        l_T = project_lattice_system(l_T, lattice_sys) * lmask
     x_T = jax.random.normal(k_x, (B, n_max, 3))
     mask = node_mask(natoms, n_max)
     return SamplerState(a_T, l_T, x_T % 1.0), mask
@@ -347,7 +366,8 @@ def run_sampler_scan(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
                      cond_scale: float, step_lr: float,
                      record_traj: bool, stride: int = 1,
                      fixed_types: Optional[jnp.ndarray] = None,
-                     type_prior: Optional[jnp.ndarray] = None):
+                     type_prior: Optional[jnp.ndarray] = None,
+                     lattice_sys: Optional[jnp.ndarray] = None):
     """Scan the reverse process over ``ts``.
 
     ``ts`` is either [K] descending consecutive timesteps (the
@@ -366,7 +386,8 @@ def run_sampler_scan(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
         return sampler_step(decoder_params, decoder, sched, cfg, carry, t,
                             mask, text_embeds, null_text_embeds, key,
                             cond_scale, step_lr, fixed_types=fixed_types,
-                            type_prior=type_prior, s=s)
+                            type_prior=type_prior, s=s,
+                            lattice_sys=lattice_sys)
 
     unroll = max(1, int(getattr(cfg, "sampler_scan_unroll", 1)))
     if not record_traj or stride <= 1:
@@ -488,10 +509,10 @@ class Chemeleon:
     # -- sampling ------------------------------------------------------------
     def _get_compiled_sampler(self, B: int, n_max: int, record_traj: bool,
                               chunk: Optional[int], csp: bool = False,
-                              prior: bool = False):
+                              prior: bool = False, lsys: bool = False):
         stride = self.cfg.trajectory_stride if record_traj else 1
         sig = (B, n_max, record_traj, chunk, self.cfg.text_guide, stride, csp,
-               prior)
+               prior, lsys)
         if sig in self._sampler_cache:
             return self._sampler_cache[sig]
 
@@ -500,10 +521,11 @@ class Chemeleon:
         @functools.partial(jax.jit, static_argnames=())
         def run(params, natoms, text_embeds, null_text_embeds, key,
                 cond_scale, step_lr, ts, fixed_types=None, state_in=None,
-                type_prior=None):
+                type_prior=None, lattice_sys=None):
             if state_in is None:
                 state, mask = init_sampler_state(key, natoms, n_max,
-                                                 fixed_types=fixed_types)
+                                                 fixed_types=fixed_types,
+                                                 lattice_sys=lattice_sys)
             else:
                 state = state_in
                 mask = node_mask(natoms, n_max)
@@ -513,7 +535,7 @@ class Chemeleon:
                 null_text_embeds if cfg.text_guide else None,
                 jax.random.fold_in(key, 1), cond_scale, step_lr, record_traj,
                 stride=stride, fixed_types=fixed_types,
-                type_prior=type_prior)
+                type_prior=type_prior, lattice_sys=lattice_sys)
             return final, traj
 
         self._sampler_cache[sig] = run
@@ -609,6 +631,24 @@ class Chemeleon:
                 type_prior = jnp.asarray(prior_np)
         return ftypes, type_prior
 
+    def _prepare_lattice_system(self, natoms: List[int], B: int,
+                                lattice_system):
+        """[B] int32 system ids (0 = free, incl. padding rows) from a single
+        crystal-system word or a per-structure list (None entries = free).
+        Returns None when nothing is actually clamped."""
+        if lattice_system is None:
+            return None
+        from chemeleon_tpu.ops.lattice_proj import system_ids
+        systems = ([lattice_system] * len(natoms)
+                   if isinstance(lattice_system, str)
+                   else list(lattice_system))
+        if len(systems) != len(natoms):
+            raise ValueError("lattice_system and natoms must have the same "
+                             "number of elements.")
+        ids = np.zeros((B,), np.int32)
+        ids[:len(systems)] = system_ids(systems)
+        return jnp.asarray(ids) if ids.any() else None
+
     def sample_batch(self, natoms: List[int],
                      texts: Optional[List[str]] = None,
                      cond_scale: float = 2.0, step_lr: float = 1e-5,
@@ -618,7 +658,8 @@ class Chemeleon:
                      mesh=None, fixed_types=None,
                      comp_prior: Optional[List[Optional[str]]] = None,
                      comp_prior_scale: float = 1.0,
-                     sample_steps: Optional[int] = None):
+                     sample_steps: Optional[int] = None,
+                     lattice_system=None):
         """Batched sampling API (heals the reference's API skew — SURVEY §3.5:
         evaluate.py/dash_app.py call an older (natoms, texts) signature).
 
@@ -640,7 +681,14 @@ class Chemeleon:
 
         ``sample_steps``: run K < cfg.timesteps strided reverse steps
         (defaults to cfg.sample_steps; 0/None = all timesteps). ~T/K faster
-        at a measured validity cost (BENCH.md few-step table)."""
+        at a measured validity cost (BENCH.md few-step table).
+
+        ``lattice_system``: a crystal-system word or per-structure list
+        (None entries free) — clamps each row's lattice to that system's
+        Bravais metric constraints every reverse step (ops/lattice_proj;
+        see sampler_step). Composable with ``fixed_types`` (CSP): together
+        they guarantee exact composition AND lattice system by
+        construction."""
         cfg = self.cfg
         if sample_steps is None:
             sample_steps = cfg.sample_steps
@@ -649,6 +697,7 @@ class Chemeleon:
         B, N = batch0.atom_types.shape
         ftypes, type_prior = self._prepare_type_conditioning(
             natoms, B, N, fixed_types, comp_prior, comp_prior_scale)
+        lsys_ids = self._prepare_lattice_system(natoms, B, lattice_system)
 
         decoder_params = self.params["decoder"]
         batch_natoms = batch0.natoms
@@ -670,6 +719,8 @@ class Chemeleon:
                 ftypes = shard(ftypes)
             if type_prior is not None:
                 type_prior = shard(type_prior)
+            if lsys_ids is not None:
+                lsys_ids = shard(lsys_ids)
             # replicate params once per (mesh, params), not per call (serving
             # hot path). Identity-compare BOTH sources and keep them alive in
             # the cache entry: keying on id(mesh) alone served stale weights
@@ -689,11 +740,13 @@ class Chemeleon:
                 "without trajectory recording")
         run = self._get_compiled_sampler(B, N, return_trajectory, None,
                                          csp=ftypes is not None,
-                                         prior=type_prior is not None)
+                                         prior=type_prior is not None,
+                                         lsys=lsys_ids is not None)
         ts = strided_sample_ts(cfg.timesteps, sample_steps)
         final, traj = run(decoder_params, batch_natoms, text_embeds,
                           null_embeds, key, cond_scale, step_lr, ts,
-                          fixed_types=ftypes, type_prior=type_prior)
+                          fixed_types=ftypes, type_prior=type_prior,
+                          lattice_sys=lsys_ids)
 
         natoms_np = np.asarray(batch0.natoms)
         if return_trajectory:
@@ -706,7 +759,8 @@ class Chemeleon:
             # init_sampler_state is deterministic in `key`, so re-deriving
             # it host-side reproduces exactly what the scan started from.
             state0, _ = init_sampler_state(key, batch0.natoms, N,
-                                           fixed_types=ftypes)
+                                           fixed_types=ftypes,
+                                           lattice_sys=lsys_ids)
             container[cfg.timesteps] = TrajectoryStep(
                 natoms=natoms_np,
                 atom_types=np.asarray(state0.atom_types),
@@ -796,17 +850,25 @@ class Chemeleon:
                return_trajectory: bool = False, stream: bool = False,
                key: Optional[jax.Array] = None,
                stream_chunk: int = 100,
-               sample_steps: Optional[int] = None):
-        """Reference-parity sampling API (chemeleon.py:469-490)."""
+               sample_steps: Optional[int] = None,
+               lattice_system: Optional[str] = None):
+        """Reference-parity sampling API (chemeleon.py:469-490).
+        ``lattice_system`` clamps the lattice to that system's metric
+        constraints (sample_batch docstring; not available on the streaming
+        path)."""
         natoms = [n_atoms] * n_samples
         texts = [text_input] * n_samples if text_input is not None else None
         if stream:
+            if lattice_system is not None:
+                raise ValueError("lattice_system is not supported on the "
+                                 "streaming path; use stream=False")
             return self._sample_stream(natoms, texts, cond_scale, step_lr,
                                        key, stream_chunk,
                                        sample_steps=sample_steps)
         result = self.sample_batch(natoms, texts, cond_scale, step_lr, key,
                                    return_trajectory=return_trajectory,
-                                   sample_steps=sample_steps)
+                                   sample_steps=sample_steps,
+                                   lattice_system=lattice_system)
         if return_trajectory:
             return result.get_trajectory()
         return result
@@ -814,12 +876,15 @@ class Chemeleon:
     def sample_csp(self, composition: str, n_samples: int, z: int = 1,
                    cond_scale: float = 2.0, step_lr: float = 1e-5,
                    key: Optional[jax.Array] = None,
-                   sample_steps: Optional[int] = None):
+                   sample_steps: Optional[int] = None,
+                   lattice_system: Optional[str] = None):
         """Crystal-structure-prediction sampling: atom types are fixed to
         ``z`` formula units of ``composition``; lattice + coords diffuse.
         Guarantees the exact composition by construction — the task CSPNet
         (DiffCSP) was designed for, exposed as a first-class mode the
-        reference's filter-based composition workflow lacks."""
+        reference's filter-based composition workflow lacks.
+        ``lattice_system`` additionally clamps the cell to that system's
+        metric constraints — composition AND lattice system both exact."""
         from chemeleon_tpu.chem.composition import (
             parse_composition, reduced_composition,
             reduced_formula_alphabetical)
@@ -834,7 +899,8 @@ class Chemeleon:
         texts = ([comp] * n_samples if self.cfg.text_guide else None)
         return self.sample_batch(natoms, texts, cond_scale, step_lr, key,
                                  fixed_types=[types] * n_samples,
-                                 sample_steps=sample_steps)
+                                 sample_steps=sample_steps,
+                                 lattice_system=lattice_system)
 
     def sample_batch_stream(self, natoms: List[int],
                             texts: Optional[List[str]] = None,

@@ -104,6 +104,53 @@ def _lattice_stats(lps) -> dict:
             "len_cv": _ms(cv)}
 
 
+def probe_clamp(model, n_samples: int, seed: int = 0):
+    """Measure the lattice-system clamp (``lattice_system=`` sampling arg,
+    ops/lattice_proj): per prompted system, the LATTICE-system follow rate
+    (1.0 expected by construction — a live end-to-end check of the clamp)
+    and geometric validity raw/relaxed vs the unclamped baseline (the
+    deployment cost question)."""
+    from chemeleon_tpu.chem.lattice import crystal_system_from_lattice
+    from chemeleon_tpu.chem.validity import structure_validity
+    from chemeleon_tpu.eval.optimize import SoftSphereCalculator, fire_relax
+
+    calc = SoftSphereCalculator(radius_scale=0.6)
+    out = {}
+    for si, sys_word in enumerate([None] + list(SYSTEMS)):
+        n_follow = n_valid = n_rel = n_tot = 0
+        for ti, (target, z) in enumerate(TARGETS):
+            red = reduced_composition(parse_composition(target))
+            comp = reduced_formula_alphabetical(red)
+            n_atoms = composition_natoms(red) * z
+            text = (f"composition: {comp}" if sys_word is None else
+                    f"composition: {comp}, crystal_system: {sys_word}")
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(seed), 919 * ti + si)
+            crystals = model.sample_batch(
+                [n_atoms] * n_samples, [text] * n_samples, key=key,
+                lattice_system=sys_word)
+            for c in crystals:
+                n_tot += 1
+                if sys_word is not None and \
+                        crystal_system_from_lattice(c.lattice) == sys_word:
+                    n_follow += 1
+                v = structure_validity(c)
+                n_valid += v
+                try:
+                    relaxed, _ = fire_relax(c, calc, steps=60)
+                    n_rel += structure_validity(relaxed)
+                except Exception:
+                    n_rel += v
+        out[sys_word or "unclamped"] = {
+            "n": n_tot, "valid_raw": n_valid / n_tot,
+            "valid_relaxed": n_rel / n_tot,
+            **({} if sys_word is None
+               else {"lattice_follow": n_follow / n_tot})}
+        print(f"clamp={sys_word or '(none)'}: "
+              f"{json.dumps(out[sys_word or 'unclamped'])}", flush=True)
+    return out
+
+
 def probe(model, n_samples: int, seed: int = 0, relax: bool = True):
     from chemeleon_tpu.eval.optimize import SoftSphereCalculator
 
@@ -171,10 +218,22 @@ def main():
     ap.add_argument("--no-relax", action="store_true",
                     help="skip the FIRE relax pass (fast lattice-stats run;"
                          " rel_dist then duplicates raw_dist)")
+    ap.add_argument("--clamp", action="store_true",
+                    help="probe the lattice-system CLAMP instead of prompt "
+                         "steering: follow rate (1.0 by construction) + "
+                         "validity cost vs unclamped (probe_clamp)")
     args = ap.parse_args()
 
     from chemeleon_tpu.models.chemeleon import Chemeleon
     model = Chemeleon.load_from_checkpoint(args.model)
+    if args.clamp:
+        results = {"model": args.model, "n_samples": args.n_samples,
+                   "cond_scale": 2.0,
+                   "clamp": probe_clamp(model, args.n_samples, args.seed)}
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.out).write_text(json.dumps(results, indent=1))
+        print(f"wrote {args.out}")
+        return
     results = {"model": args.model, "n_samples": args.n_samples,
                "cond_scale": 2.0,
                **probe(model, args.n_samples, args.seed,

@@ -11,7 +11,8 @@ def sample_prompt(text_input: str = ("A Crystal structure of LiMnO4 with "
                                      "orthorhombic symmetry"),
                   n_samples: int = 3, n_atoms: int = 6,
                   save_dir: str = "results/prompt", model=None,
-                  key=None, sample_steps: int = 0):
+                  key=None, sample_steps: int = 0,
+                  lattice_system: str = None):
     from chemeleon_tpu.models.chemeleon import Chemeleon
 
     if model is None:
@@ -25,7 +26,8 @@ def sample_prompt(text_input: str = ("A Crystal structure of LiMnO4 with "
           f"with {n_atoms} atoms...")
     gen_list = model.sample(text_input=text_input, n_atoms=n_atoms,
                             n_samples=n_samples, key=key,
-                            sample_steps=sample_steps or None)
+                            sample_steps=sample_steps or None,
+                            lattice_system=lattice_system)
     if gen_list is None:
         print("Sampling failed")
         return None

@@ -26,7 +26,8 @@ def sample_target_composition(target_composition: str = "TiO2",
                               model=None, key=None,
                               csp: bool = False,
                               comp_prior_scale: float = 0.0,
-                              sample_steps: int = 0) -> List[Crystal]:
+                              sample_steps: int = 0,
+                              lattice_system: str = None) -> List[Crystal]:
     """``csp=True`` clamps atom types to the target composition (CSP mode,
     models/chemeleon.py sampler_step) so every sample passes the exact
     composition filter by construction; the text-guided default mirrors the
@@ -34,7 +35,8 @@ def sample_target_composition(target_composition: str = "TiO2",
     free type diffusion toward the target element fractions via an additive
     log-prior on the x0 type logits (models/chemeleon.py sampler_step) —
     raising the exact-composition filter pass rate without CSP's hard
-    clamp."""
+    clamp. ``lattice_system`` clamps the cell to that crystal system's
+    metric constraints (ops/lattice_proj), composable with every mode."""
     from chemeleon_tpu.models.chemeleon import Chemeleon
 
     if csp and comp_prior_scale > 0:
@@ -64,18 +66,21 @@ def sample_target_composition(target_composition: str = "TiO2",
         if csp:
             gen_list = model.sample_csp(comp, n_samples=n_samples, z=f,
                                         key=key,
-                                        sample_steps=sample_steps or None)
+                                        sample_steps=sample_steps or None,
+                                        lattice_system=lattice_system)
         elif comp_prior_scale > 0:
             gen_list = model.sample_batch(
                 [n_atoms] * n_samples,
                 [comp] * n_samples if model.cfg.text_guide else None,
                 key=key, comp_prior=[comp] * n_samples,
                 comp_prior_scale=comp_prior_scale,
-                sample_steps=sample_steps or None)
+                sample_steps=sample_steps or None,
+                lattice_system=lattice_system)
         else:
             gen_list = model.sample(text_input=comp, n_atoms=n_atoms,
                                     n_samples=n_samples, key=key,
-                                    sample_steps=sample_steps or None)
+                                    sample_steps=sample_steps or None,
+                                    lattice_system=lattice_system)
         if gen_list is None:
             continue
         for st in gen_list:

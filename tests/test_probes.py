@@ -47,6 +47,21 @@ def test_probe_system_smoke(comp_model, monkeypatch):
             assert math.isfinite(ls[k]["se"])
 
 
+def test_probe_system_clamp_smoke(comp_model, monkeypatch):
+    import chemeleon_tpu.scripts.probe_system as ps
+
+    monkeypatch.setattr(ps, "TARGETS", ps.TARGETS[:1])
+    monkeypatch.setattr(ps, "SYSTEMS", ("cubic",))
+    out = ps.probe_clamp(comp_model, n_samples=2, seed=0)
+    assert set(out) == {"unclamped", "cubic"}
+    # the clamp is a guarantee, not a tendency: even a random-init model
+    # must emit lattice-system-exact cells
+    assert out["cubic"]["lattice_follow"] == 1.0
+    for d in out.values():
+        assert 0.0 <= d["valid_raw"] <= 1.0
+        assert 0.0 <= d["valid_relaxed"] <= 1.0
+
+
 def test_probe_system_no_relax(comp_model, monkeypatch):
     import chemeleon_tpu.scripts.probe_system as ps
 
