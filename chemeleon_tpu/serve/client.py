@@ -47,15 +47,21 @@ def predict(url: str, text_input: str, n_atoms: int, n_samples: int,
 
 def generate(url: str, text_input: str, n_atoms: int, n_samples: int,
              timeout: float = 600.0, comp_prior: str = None,
-             comp_prior_scale: float = 1.0) -> List[Crystal]:
+             comp_prior_scale: float = 1.0,
+             lattice_system: str = None) -> List[Crystal]:
     """POST /generate (non-streaming; server-side dynamic batching).
     ``comp_prior`` requests composition-prior guided sampling for this
-    request only (requests with different priors/scales still coalesce)."""
+    request only (requests with different priors/scales still coalesce).
+    ``lattice_system`` clamps this request's cells to that crystal
+    system's metric constraints (per-row ids: clamped and free requests
+    coalesce into the same device batch)."""
     payload = {"text_input": text_input, "n_atoms": n_atoms,
                "n_samples": n_samples}
     if comp_prior:
         payload["comp_prior"] = comp_prior
         payload["comp_prior_scale"] = comp_prior_scale
+    if lattice_system:
+        payload["lattice_system"] = lattice_system
     body = json.dumps(payload).encode()
     req = Request(url.rstrip("/") + "/generate", data=body,
                   headers={"Content-Type": "application/json"})

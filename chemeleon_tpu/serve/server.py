@@ -45,12 +45,14 @@ class _PendingRequest:
 
     def __init__(self, n_samples: int, n_atoms: int, text: str,
                  comp_prior: Optional[str] = None,
-                 comp_prior_scale: float = 0.0):
+                 comp_prior_scale: float = 0.0,
+                 lattice_system: Optional[str] = None):
         self.n_samples = n_samples
         self.n_atoms = n_atoms
         self.text = text
         self.comp_prior = comp_prior
         self.comp_prior_scale = comp_prior_scale
+        self.lattice_system = lattice_system
         self.event = threading.Event()
         self.result: Optional[List[Crystal]] = None
         self.error: Optional[str] = None
@@ -169,28 +171,33 @@ class ChemeleonServer:
             if not batch:
                 continue
             total = sum(r.n_samples for r in batch)
-            natoms, texts, priors, scales = [], [], [], []
+            natoms, texts, priors, scales, lsys = [], [], [], [], []
             for r in batch:
                 natoms.extend([r.n_atoms] * r.n_samples)
                 texts.extend([r.text] * r.n_samples)
                 priors.extend([r.comp_prior] * r.n_samples)
                 scales.extend([r.comp_prior_scale] * r.n_samples)
+                lsys.extend([r.lattice_system] * r.n_samples)
             # pad to the shape ladder with dummy rows (discarded below)
             for _ in range(self._quantize_batch(total) - total):
                 natoms.append(batch[0].n_atoms)
                 texts.append(batch[0].text)
                 priors.append(None)
                 scales.append(0.0)
+                lsys.append(None)
             try:
                 with self._lock:
-                    # per-row scales: one coalesced batch can mix guided and
-                    # unguided requests (None rows carry no bias)
+                    # per-row scales/ids: one coalesced batch can mix guided,
+                    # unguided, and lattice-clamped requests (None rows carry
+                    # no bias / no clamp)
                     crystals = self.model.sample_batch(
                         natoms, texts,
                         comp_prior=(priors if any(p is not None
                                                   for p in priors) else None),
                         comp_prior_scale=scales,
-                        sample_steps=self.sample_steps or None)
+                        sample_steps=self.sample_steps or None,
+                        lattice_system=(lsys if any(s is not None
+                                                    for s in lsys) else None))
                 self.batch_calls += 1
                 i = 0
                 for r in batch:
@@ -268,7 +275,8 @@ class ChemeleonServer:
                                   req["text_input"],
                                   comp_prior=req.get("comp_prior"),
                                   comp_prior_scale=req.get(
-                                      "comp_prior_scale", 0.0))
+                                      "comp_prior_scale", 0.0),
+                                  lattice_system=req.get("lattice_system"))
         with self._queue_guard:
             # check-and-enqueue is atomic vs shutdown(): either we enqueue
             # before the final drain (and get drained) or we observe _stop
@@ -308,6 +316,12 @@ class ChemeleonServer:
             parse_composition(str(body["comp_prior"]))
             req["comp_prior"] = str(body["comp_prior"])
             req["comp_prior_scale"] = float(body.get("comp_prior_scale", 1.0))
+        if body.get("lattice_system"):
+            # same decode-time validation rule as comp_prior: an unknown
+            # system word must 400 here, not fail the coalesced batch
+            from chemeleon_tpu.ops.lattice_proj import system_ids
+            system_ids([str(body["lattice_system"])])
+            req["lattice_system"] = str(body["lattice_system"])
         return req
 
     def predict_stream(self, req: dict, timeout: float = 600.0):

@@ -298,6 +298,56 @@ def test_server_generate_comp_prior(model):
         server.shutdown()
 
 
+def test_server_generate_lattice_system(model):
+    """Per-request lattice-system clamp: a clamped and a free request
+    coalesce into ONE device batch; the clamped request's cells satisfy
+    the prompted system exactly, the free request's rows stay free."""
+    from concurrent.futures import ThreadPoolExecutor
+    from chemeleon_tpu.chem.lattice import lattice_system
+    from chemeleon_tpu.serve.client import generate
+    from chemeleon_tpu.serve.server import ChemeleonServer
+
+    port = _free_port()
+    server = ChemeleonServer(model=model, host="127.0.0.1", port=port,
+                             batch_window_s=1.0, max_batch=64)
+    server.run(background=True)
+    try:
+        url = f"http://127.0.0.1:{port}"
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            clamped = ex.submit(generate, url, "TiO2", 4, 2, 600.0,
+                                None, 1.0, "cubic")
+            free = ex.submit(generate, url, "XyzFree", 4, 2, 600.0)
+            c, f = clamped.result(), free.result()
+        assert all(lattice_system(x.lattice) == "cubic" for x in c)
+        assert len(f) == 2
+        assert server.batch_calls == 1, server.batch_calls
+    finally:
+        server.shutdown()
+
+
+def test_server_rejects_bad_lattice_system(model):
+    """An unknown crystal-system word 400s at decode time instead of
+    poisoning the coalesced device batch."""
+    import urllib.error
+    import urllib.request
+    from chemeleon_tpu.serve.server import ChemeleonServer
+
+    port = _free_port()
+    server = ChemeleonServer(model=model, host="127.0.0.1", port=port)
+    server.run(background=True)
+    try:
+        body = json.dumps({"text_input": "x", "n_atoms": 4, "n_samples": 1,
+                           "lattice_system": "spherical"}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+
+
 def test_server_rejects_bad_comp_prior(model):
     """An unparseable comp_prior 400s at decode time instead of poisoning
     the coalesced device batch."""
