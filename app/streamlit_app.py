@@ -35,7 +35,8 @@ def load_model():
 
 
 def generate_local(text, n_atoms, n_samples, progress,
-                   comp=None, comp_mode="off", comp_scale=1.0):
+                   comp=None, comp_mode="off", comp_scale=1.0,
+                   lattice_sys=None):
     model = load_model()
     total = model.cfg.timesteps
     chunk = SNAPSHOT_EVERY if total % SNAPSHOT_EVERY == 0 else 1
@@ -55,6 +56,8 @@ def generate_local(text, n_atoms, n_samples, progress,
     elif comp and comp_mode == "prior (bias types)":
         kw["comp_prior"] = [comp] * n_samples
         kw["comp_prior_scale"] = comp_scale
+    if lattice_sys:
+        kw["lattice_system"] = lattice_sys
     snapshots = []
     done = 0
     for crystals in model.sample_batch_stream(
@@ -98,6 +101,11 @@ def main():
                               "CSP (clamp types)"]) if comp else "off"
         comp_scale = (st.slider("Prior strength", 0.5, 8.0, 2.0, 0.5)
                       if comp and comp_mode == "prior (bias types)" else 1.0)
+        lattice_sys = st.selectbox(
+            "Lattice system clamp",
+            ["off", "triclinic", "monoclinic", "orthorhombic", "tetragonal",
+             "trigonal", "hexagonal", "cubic"])
+        lattice_sys = None if lattice_sys == "off" else lattice_sys
         run = st.button("Generate")
 
     if not run:
@@ -106,13 +114,17 @@ def main():
 
     progress = st.progress(0.0)
     with st.spinner("Sampling..."):
-        if SERVER_URL and comp and comp_mode == "prior (bias types)":
-            # /generate carries per-request priors (non-streaming: one
-            # final snapshot, no per-step progress)
+        if SERVER_URL and (lattice_sys or
+                           (comp and comp_mode == "prior (bias types)")):
+            # /generate carries per-request priors and lattice clamps
+            # (non-streaming: one final snapshot, no per-step progress)
             from chemeleon_tpu.serve.client import generate
+            prior = comp if comp and comp_mode == "prior (bias types)" \
+                else None
             snapshots = [generate(SERVER_URL, text, n_atoms, n_samples,
-                                  comp_prior=comp,
-                                  comp_prior_scale=comp_scale)]
+                                  comp_prior=prior,
+                                  comp_prior_scale=comp_scale,
+                                  lattice_system=lattice_sys)]
             progress.progress(1.0)
         elif SERVER_URL:
             # the streaming wire protocol carries no composition knobs
@@ -124,7 +136,8 @@ def main():
             snapshots = generate_local(text, n_atoms, n_samples, progress,
                                        comp=comp or None,
                                        comp_mode=comp_mode,
-                                       comp_scale=comp_scale)
+                                       comp_scale=comp_scale,
+                                       lattice_sys=lattice_sys)
     if not snapshots:
         st.error("Generation failed: the server returned no structures.")
         return

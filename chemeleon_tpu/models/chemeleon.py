@@ -854,17 +854,15 @@ class Chemeleon:
                lattice_system: Optional[str] = None):
         """Reference-parity sampling API (chemeleon.py:469-490).
         ``lattice_system`` clamps the lattice to that system's metric
-        constraints (sample_batch docstring; not available on the streaming
-        path)."""
+        constraints (sample_batch docstring); honored on both the batch
+        and streaming paths."""
         natoms = [n_atoms] * n_samples
         texts = [text_input] * n_samples if text_input is not None else None
         if stream:
-            if lattice_system is not None:
-                raise ValueError("lattice_system is not supported on the "
-                                 "streaming path; use stream=False")
             return self._sample_stream(natoms, texts, cond_scale, step_lr,
                                        key, stream_chunk,
-                                       sample_steps=sample_steps)
+                                       sample_steps=sample_steps,
+                                       lattice_system=lattice_system)
         result = self.sample_batch(natoms, texts, cond_scale, step_lr, key,
                                    return_trajectory=return_trajectory,
                                    sample_steps=sample_steps,
@@ -909,23 +907,27 @@ class Chemeleon:
                             stream_chunk: int = 100,
                             fixed_types=None, comp_prior=None,
                             comp_prior_scale: float = 1.0,
-                            sample_steps: Optional[int] = None):
+                            sample_steps: Optional[int] = None,
+                            lattice_system=None):
         """Batched streaming: one compiled chunked scan over a MIXED batch,
         yielding the whole batch's crystals every ``stream_chunk`` steps.
         This is what lets a server coalesce N concurrent streams into one
         device program instead of N serialized scans (the reference scales
         streams with workers_per_device=4 instead, app/server.py:55-58).
-        ``fixed_types``/``comp_prior`` as in sample_batch."""
+        ``fixed_types``/``comp_prior``/``lattice_system`` as in
+        sample_batch."""
         return self._sample_stream(natoms, texts, cond_scale, step_lr, key,
                                    stream_chunk, fixed_types=fixed_types,
                                    comp_prior=comp_prior,
                                    comp_prior_scale=comp_prior_scale,
-                                   sample_steps=sample_steps)
+                                   sample_steps=sample_steps,
+                                   lattice_system=lattice_system)
 
     def _sample_stream(self, natoms, texts, cond_scale, step_lr, key,
                        chunk: int, fixed_types=None, comp_prior=None,
                        comp_prior_scale: float = 1.0,
-                       sample_steps: Optional[int] = None):
+                       sample_steps: Optional[int] = None,
+                       lattice_system=None):
         """Generator yielding crystals every ``chunk`` steps via chunked scans
         (the jit-compatible analog of the reference's per-step streaming,
         chemeleon.py:379-467 / app/server.py:22-47). With ``sample_steps``
@@ -944,19 +946,22 @@ class Chemeleon:
         B, N = batch0.atom_types.shape
         ftypes, type_prior = self._prepare_type_conditioning(
             natoms, B, N, fixed_types, comp_prior, comp_prior_scale)
+        lsys_ids = self._prepare_lattice_system(natoms, B, lattice_system)
 
         run = self._get_compiled_sampler(B, N, False, chunk,
                                          csp=ftypes is not None,
-                                         prior=type_prior is not None)
+                                         prior=type_prior is not None,
+                                         lsys=lsys_ids is not None)
         state, _ = init_sampler_state(key, batch0.natoms, N,
-                                      fixed_types=ftypes)
+                                      fixed_types=ftypes,
+                                      lattice_sys=lsys_ids)
         natoms_np = np.asarray(batch0.natoms)
         for start in range(0, total, chunk):
             ts = ladder[start:start + chunk]
             state, _ = run(self.params["decoder"], batch0.natoms, text_embeds,
                            null_embeds, key, cond_scale, step_lr, ts,
                            state_in=state, fixed_types=ftypes,
-                           type_prior=type_prior)
+                           type_prior=type_prior, lattice_sys=lsys_ids)
             step = TrajectoryStep(natoms=natoms_np,
                                   atom_types=np.asarray(state.atom_types),
                                   frac_coords=np.asarray(state.frac_coords),

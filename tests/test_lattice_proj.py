@@ -148,6 +148,18 @@ def test_sample_csp_with_lattice_clamp(tiny_model):
         assert lattice_system(c.lattice) == "cubic"  # lattice exact (clamp)
 
 
+def test_stream_lattice_clamp(tiny_model):
+    # the clamp holds at EVERY streamed snapshot, not just the final one —
+    # the chain diffuses within the constraint manifold throughout
+    snaps = list(tiny_model.sample_batch_stream(
+        [4] * 2, ["TiO2"] * 2, key=jax.random.PRNGKey(4), stream_chunk=5,
+        lattice_system="cubic"))
+    assert len(snaps) == 2  # 10 timesteps / chunk 5
+    for crystals in snaps:
+        for c in crystals:
+            assert lattice_system(c.lattice) == "cubic"
+
+
 def test_lattice_clamp_validation(tiny_model):
     with pytest.raises(ValueError, match="same number"):
         tiny_model.sample_batch([4, 4], ["a", "b"],
