@@ -2,27 +2,37 @@
 
 Standalone replacement for pymatgen's ``StructureMatcher`` as used by the
 reference (evaluate.py:198-204 structure matching with default tolerances;
-sample_target_composition.py:35,:66 dedupe with angle_tol=10). Algorithm:
+sample_target_composition.py:35,:66 dedupe with angle_tol=10). Algorithm
+(calibrated against the published (ltol=0.2, stol=0.3, angle_tol=5)
+criteria — see scripts/calibrate_matcher.py and
+results/matcher_calibration.json):
 
   1. reduced compositions must match;
-  2. Niggli-reduce both cells, optionally volume-normalize;
-  3. search signed basis permutations of the reduced cell whose parameters
-     match within (ltol, angle_tol);
-  4. for each candidate basis + anchor translation, solve a per-species
-     min-cost assignment (Hungarian) on periodic displacements and accept if
-     the normalized RMS displacement is within stol.
+  2. both structures are primitive-reduced (pure-translation detection);
+     if the primitive cells have different site counts that differ by an
+     integer factor m, Hermite-normal-form supercells of the smaller are
+     enumerated (formula-unit matching — MP ground truths are conventional
+     cells that fold to primitive, generated noisy cells do not, so without
+     this whole row classes could never match);
+  3. Niggli-reduce both cells, volume-normalize (scale=True);
+  4. candidate bases of the second cell = unimodular integer combinations
+     of its Niggli vectors whose lengths/angles match the first cell within
+     (ltol, angle_tol) — a superset of signed axis permutations, covering
+     near-degenerate cells whose Niggli reductions land on different bases;
+  5. for each candidate basis + anchor translation, per-species min-cost
+     assignment (Hungarian) on periodic displacements, followed by
+     mean-displacement translation refinement (pymatgen's _cart_dists
+     optimizes the translation the same way); accept when the normalized
+     RMS displacement rms / (V/n)^(1/3) is within stol.
 
 This is a faithful re-derivation of the published matching criteria (not a
-code port). ``primitive_cell=True`` (the pymatgen default) first reduces each
-structure to its primitive cell via pure-translation detection
-(chem/symmetry.py::primitive_structure), so exact supercell pairs with
-different Z match, as they do upstream.
+code port).
 """
 
 from __future__ import annotations
 
 import itertools
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment
@@ -42,16 +52,60 @@ def _niggli_frame(crystal: Crystal):
     return red, f % 1.0
 
 
-_SIGNED_PERMS = [
-    (perm, signs)
-    for perm in itertools.permutations(range(3))
-    for signs in itertools.product((1.0, -1.0), repeat=3)
-]
+# integer coefficient vectors for candidate-basis enumeration (step 4);
+# range [-2, 2] covers every unimodular remapping reachable from a Niggli
+# cell of a matching lattice
+_COEFF_VECS = np.array([v for v in itertools.product((-2, -1, 0, 1, 2),
+                                                     repeat=3)
+                        if any(v)], dtype=np.float64)
+
+
+def _hnf_matrices(m: int):
+    """All 3x3 integer Hermite-normal-form matrices with determinant m
+    (lower-triangular convention). Standard enumeration: diag (a, c, f),
+    acf = m; below-diagonal entries reduced modulo the diagonal of their
+    COLUMN: 0 <= b, d < a and 0 <= e < c."""
+    out = []
+    for a in range(1, m + 1):
+        if m % a:
+            continue
+        for c in range(1, m // a + 1):
+            if (m // a) % c:
+                continue
+            f = m // (a * c)
+            for b in range(a):
+                for d in range(a):
+                    for e in range(c):
+                        out.append(np.array([[a, 0, 0],
+                                             [b, c, 0],
+                                             [d, e, f]], dtype=np.float64))
+    return out
+
+
+def _supercell(st: Crystal, H: np.ndarray) -> Crystal:
+    """Supercell with lattice H @ L (H an HNF integer matrix)."""
+    lat = H @ st.lattice
+    m = int(round(abs(np.linalg.det(H))))
+    a, c, f = int(H[0, 0]), int(H[1, 1]), int(H[2, 2])
+    reps = np.array([[i, j, k] for i in range(a) for j in range(c)
+                     for k in range(f)], dtype=np.float64)
+    # cart = x @ L = x' @ (H @ L)  =>  x' = x @ inv(H)
+    inv = np.linalg.inv(H)
+    fr = ((st.frac_coords[None, :, :] + reps[:, None, :]) @ inv
+          ).reshape(-1, 3) % 1.0
+    ty = np.tile(st.atom_types, m)
+    return Crystal(lat, fr, ty)
 
 
 class StructureMatcher:
     """fit() / group_structures() with pymatgen-compatible defaults
     (ltol=0.2, stol=0.3, angle_tol=5)."""
+
+    #: cap on per-axis basis candidates (degenerate a~b~c cells can
+    #: otherwise explode the triple loop)
+    _MAX_AXIS_CANDS = 12
+    #: cap on formula-unit ratio for supercell matching
+    _MAX_FU = 16
 
     def __init__(self, ltol: float = 0.2, stol: float = 0.3,
                  angle_tol: float = 5.0, primitive_cell: bool = True,
@@ -80,7 +134,7 @@ class StructureMatcher:
                 if backend == "native":
                     raise
 
-    # -- lattice comparison --------------------------------------------------
+    # -- lattice comparison ---------------------------------------------------
     def _params_match(self, p1, p2) -> bool:
         for i in range(3):
             if abs(p1[i] - p2[i]) / max(p1[i], 1e-9) > self.ltol:
@@ -108,10 +162,32 @@ class StructureMatcher:
     def fit(self, s1: Crystal, s2: Crystal) -> bool:
         if self.primitive_cell:
             s1, s2 = self._primitive(s1), self._primitive(s2)
-        if len(s1) != len(s2):
-            return False
         if s1.reduced_composition() != s2.reduced_composition():
             return False
+
+        if len(s1) == len(s2):
+            return self._fit_same_size(s1, s2)
+        if not self.primitive_cell:
+            # without primitive reduction there is no fold asymmetry to
+            # heal; different site counts are genuinely different cells
+            return False
+
+        # formula-unit (supercell) matching: HNF supercells of the smaller
+        # (a noise-free MP ground truth folds to its primitive cell while a
+        # noisy generated conventional cell does not — without this, whole
+        # row classes could never structure-match)
+        small, big = (s1, s2) if len(s1) < len(s2) else (s2, s1)
+        if len(big) % len(small):
+            return False
+        m = len(big) // len(small)
+        if m > self._MAX_FU:
+            return False
+        for H in _hnf_matrices(m):
+            if self._fit_same_size(_supercell(small, H), big):
+                return True
+        return False
+
+    def _fit_same_size(self, s1: Crystal, s2: Crystal) -> bool:
         if sorted(s1.atom_types.tolist()) != sorted(s2.atom_types.tolist()):
             return False
 
@@ -135,49 +211,91 @@ class StructureMatcher:
         types1 = s1.atom_types
         types2 = s2.atom_types
         species = np.unique(types1)
+        sp_idx1 = {int(sp): np.where(types1 == sp)[0] for sp in species}
+        sp_idx2 = {int(sp): np.where(types2 == sp)[0] for sp in species}
         # anchor species: the rarest one (fewest anchor translations to try)
-        counts = [(int((types1 == sp).sum()), int(sp)) for sp in species]
+        counts = [(len(sp_idx1[int(sp)]), int(sp)) for sp in species]
         anchor_sp = min(counts)[1]
-        idx1_anchor = np.where(types1 == anchor_sp)[0][0]
-        idx2_anchors = np.where(types2 == anchor_sp)[0]
+        idx1_anchor = sp_idx1[anchor_sp][0]
+        idx2_anchors = sp_idx2[anchor_sp]
 
-        for perm, signs in _SIGNED_PERMS:
-            basis = lat2[list(perm)] * np.asarray(signs)[:, None]
-            if not self._params_match(p1, lattice_parameters(basis)):
-                continue
-            f2p = f2[:, list(perm)] * np.asarray(signs)[None, :] % 1.0
-            # measure displacements in the reference frame (lat1): the
-            # candidate basis has compatible parameters, and averaging
-            # frames would cancel under row negations.
+        for M in self._candidate_bases(p1, lat2):
+            # basis rows B = M @ lat2 => f2' = f2 @ inv(M) (integer inverse)
+            f2p = (f2 @ np.linalg.inv(M)) % 1.0
+            basis_lat = M @ lat2
             for j in idx2_anchors:
                 shift = (f2p[j] - f1[idx1_anchor]) % 1.0
-                g2 = (f2p - shift) % 1.0
-                if self._sites_match(f1, g2, types1, types2, lat1, norm):
+                if self._sites_match(f1, f2p, shift, sp_idx1, sp_idx2,
+                                     basis_lat, norm, n):
                     return True
         return False
 
-    def _sites_match(self, f1, f2, t1, t2, lat, norm) -> bool:
-        total_sq = 0.0
-        n = len(f1)
-        for sp in np.unique(t1):
-            i1 = np.where(t1 == sp)[0]
-            i2 = np.where(t2 == sp)[0]
-            if len(i1) != len(i2):
+    def _candidate_bases(self, p1, lat2):
+        """Unimodular integer matrices M such that M @ lat2 has cell
+        parameters matching p1 within (ltol, angle_tol). Signed axis
+        permutations are a subset."""
+        vec_lens = np.linalg.norm(_COEFF_VECS @ lat2, axis=1)
+        axis_cands = []
+        for i in range(3):
+            rel = np.abs(vec_lens - p1[i]) / max(p1[i], 1e-9)
+            order = np.argsort(rel)
+            keep = order[rel[order] <= self.ltol][: self._MAX_AXIS_CANDS]
+            if len(keep) == 0:
+                return
+            axis_cands.append(keep)
+        for i0 in axis_cands[0]:
+            for i1 in axis_cands[1]:
+                for i2 in axis_cands[2]:
+                    M = np.stack([_COEFF_VECS[i0], _COEFF_VECS[i1],
+                                  _COEFF_VECS[i2]])
+                    det = np.linalg.det(M)
+                    if abs(abs(det) - 1.0) > 1e-9:
+                        continue
+                    pb = lattice_parameters(M @ lat2)
+                    if self._params_match(p1, pb):
+                        yield M
+
+    def _sites_match(self, f1, f2p, shift, sp_idx1, sp_idx2, lat, norm,
+                     n) -> bool:
+        """Per-species assignment + translation refinement; accept on
+        normalized rms <= stol (pymatgen's fit criterion)."""
+        # generous per-site prune: a candidate whose best per-site distance
+        # exceeds 3*stol*norm anywhere cannot reach rms <= stol*norm for
+        # typical n; cheap early exit that keeps dedupe fast
+        prune = 3.0 * self.stol * norm
+        for _ in range(2):  # one refinement pass
+            total_sq = 0.0
+            disp_sum = np.zeros(3)
+            ok = True
+            for sp, i1 in sp_idx1.items():
+                i2 = sp_idx2[sp]
+                if len(i1) != len(i2):
+                    return False
+                d = f1[i1][:, None, :] - (f2p[i2][None, :, :] - shift)
+                d -= np.round(d)                       # min-image, frac
+                cart = d @ lat
+                cost = np.linalg.norm(cart, axis=-1)   # [n_sp, n_sp]
+                try:
+                    ri, ci = linear_sum_assignment(cost)
+                except ValueError:
+                    return False
+                dists = cost[ri, ci]
+                if (dists > prune).any():
+                    ok = False
+                    break
+                total_sq += float((dists ** 2).sum())
+                disp_sum += cart[ri, ci].sum(axis=0)
+            if not ok:
                 return False
-            d = f1[i1][:, None, :] - f2[i2][None, :, :]
-            d -= np.round(d)                       # min-image in frac space
-            cart = d @ lat
-            cost = np.linalg.norm(cart, axis=-1)   # [n_sp, n_sp]
-            try:
-                ri, ci = linear_sum_assignment(cost)
-            except ValueError:
-                return False
-            dists = cost[ri, ci]
-            if (dists / norm > self.stol).any():
-                return False
-            total_sq += float((dists ** 2).sum())
-        rms = (total_sq / n) ** 0.5
-        return rms / norm <= self.stol
+            rms = (total_sq / n) ** 0.5
+            if rms / norm <= self.stol:
+                return True
+            # refine: shift so the mean displacement vanishes
+            # (disp = f1 - (f2p - shift); zeroing the mean moves shift by
+            # -mean_frac)
+            mean_cart = disp_sum / n
+            shift = (shift - mean_cart @ np.linalg.inv(lat)) % 1.0
+        return False
 
     # -- grouping -------------------------------------------------------------
     def group_structures(self, structures: Sequence[Crystal]) -> List[List[Crystal]]:

@@ -296,10 +296,19 @@ double ctpu_min_pair_distance(int n, const double *lat, const double *frac) {
   }
   return best;
 }
-
 // ----------------------------------------------------- structure matching --
 // Returns 1 if the two structures match, 0 otherwise.
-// latX: 9 doubles; fracX: n*3; typesX: n ints. Same n (checked by caller).
+// latX: 9 doubles; fracX: n*3; typesX: n ints. Same n (checked by caller;
+// formula-unit/supercell matching is handled by the Python wrapper, which
+// builds HNF supercells and calls this equal-size core).
+//
+// Algorithm (mirrors chem/matcher.py, calibrated against the published
+// pymatgen criteria — results/matcher_calibration.json):
+//   Niggli frames -> candidate bases = unimodular integer combinations of
+//   the second Niggli cell with matching lengths/angles -> anchor
+//   translations -> per-species Hungarian assignment on periodic
+//   displacements -> mean-displacement translation refinement ->
+//   normalized-RMS acceptance (rms / (V/n)^(1/3) <= stol).
 int ctpu_structures_fit(int n, const double *lat1_in, const double *frac1_in,
                         const int32_t *types1, const double *lat2_in,
                         const double *frac2_in, const int32_t *types2,
@@ -345,7 +354,7 @@ int ctpu_structures_fit(int n, const double *lat1_in, const double *frac1_in,
   double vol = std::abs(det3(R1));
   double norm = std::cbrt(vol / n);
 
-  // anchor species: rarest in structure 1
+  // species bookkeeping + anchor species (rarest in structure 1)
   int counts[256] = {0};
   for (int i = 0; i < n; ++i) counts[types1[i] & 0xff]++;
   int anchor_sp = -1, anchor_cnt = 1 << 30;
@@ -360,93 +369,154 @@ int ctpu_structures_fit(int n, const double *lat1_in, const double *frac1_in,
       idx1_anchor = i;
       break;
     }
-
-  static const int perms[6][3] = {{0, 1, 2}, {0, 2, 1}, {1, 0, 2},
-                                  {1, 2, 0}, {2, 0, 1}, {2, 1, 0}};
   std::vector<int> species;
   for (int sp = 0; sp < 256; ++sp)
     if (counts[sp] > 0) species.push_back(sp);
 
-  for (int pi = 0; pi < 6; ++pi) {
-    for (int sbits = 0; sbits < 8; ++sbits) {
-      double signs[3] = {(sbits & 1) ? -1.0 : 1.0, (sbits & 2) ? -1.0 : 1.0,
-                         (sbits & 4) ? -1.0 : 1.0};
-      Mat3 basis;
-      for (int r = 0; r < 3; ++r)
-        for (int c = 0; c < 3; ++c)
-          basis.m[r][c] = R2.m[perms[pi][r]][c] * signs[r];
-      double pb[6];
-      lattice_params(basis, pb);
-      bool ok = true;
-      for (int k = 0; k < 3 && ok; ++k)
-        if (abs(p1[k] - pb[k]) / std::max(p1[k], 1e-9) > ltol) ok = false;
-      for (int k = 3; k < 6 && ok; ++k)
-        if (abs(p1[k] - pb[k]) > angle_tol) ok = false;
-      if (!ok) continue;
-
-      // permuted coords
-      std::vector<double> g(n * 3);
-      for (int i = 0; i < n; ++i)
-        for (int d = 0; d < 3; ++d) {
-          double v = f2[i * 3 + perms[pi][d]] * signs[d];
-          g[i * 3 + d] = v - std::floor(v);
+  // candidate bases: integer coefficient vectors in [-2,2]^3 whose lattice
+  // vectors match R1's lengths within ltol (capped per axis), assembled
+  // into unimodular triples with matching angles
+  const int MAX_AXIS = 12;
+  struct Cand {
+    double rel;
+    double v[3];     // integer coefficients
+    double len;
+  };
+  std::vector<Cand> axis_cands[3];
+  for (int ci = -2; ci <= 2; ++ci)
+    for (int cj = -2; cj <= 2; ++cj)
+      for (int ck = -2; ck <= 2; ++ck) {
+        if (!ci && !cj && !ck) continue;
+        double coeff[3] = {(double)ci, (double)cj, (double)ck};
+        double vec[3];
+        row_dot(coeff, R2, vec);
+        double len = norm3(vec);
+        for (int ax = 0; ax < 3; ++ax) {
+          double rel = std::abs(len - p1[ax]) / std::max(p1[ax], 1e-9);
+          if (rel <= ltol)
+            axis_cands[ax].push_back({rel, {coeff[0], coeff[1], coeff[2]},
+                                      len});
         }
+      }
+  for (int ax = 0; ax < 3; ++ax) {
+    if (axis_cands[ax].empty()) return 0;
+    std::sort(axis_cands[ax].begin(), axis_cands[ax].end(),
+              [](const Cand &a, const Cand &b) { return a.rel < b.rel; });
+    if ((int)axis_cands[ax].size() > MAX_AXIS)
+      axis_cands[ax].resize(MAX_AXIS);
+  }
 
-      // anchor translations
-      for (int j = 0; j < n; ++j) {
-        if ((types2[j] & 0xff) != anchor_sp) continue;
-        double shift[3];
+  std::vector<double> g(n * 3);        // f2 in the candidate basis
+  std::vector<double> cost;
+  std::vector<int> match;
+  for (const Cand &c0 : axis_cands[0])
+    for (const Cand &c1 : axis_cands[1])
+      for (const Cand &c2 : axis_cands[2]) {
+        Mat3 M;
         for (int d = 0; d < 3; ++d) {
-          shift[d] = g[j * 3 + d] - f1[idx1_anchor * 3 + d];
-          shift[d] -= std::floor(shift[d]);
+          M.m[0][d] = c0.v[d];
+          M.m[1][d] = c1.v[d];
+          M.m[2][d] = c2.v[d];
         }
-        // per-species assignment in frame R1
-        double total_sq = 0;
-        bool fail = false;
-        for (int sp : species) {
-          std::vector<int> i1, i2;
-          for (int i = 0; i < n; ++i) {
-            if ((types1[i] & 0xff) == sp) i1.push_back(i);
-            if ((types2[i] & 0xff) == sp) i2.push_back(i);
+        double det = det3(M);
+        if (std::abs(std::abs(det) - 1.0) > 1e-9) continue;
+        // basis = M @ R2
+        Mat3 basis;
+        for (int r = 0; r < 3; ++r)
+          for (int cc = 0; cc < 3; ++cc)
+            basis.m[r][cc] = M.m[r][0] * R2.m[0][cc] +
+                             M.m[r][1] * R2.m[1][cc] +
+                             M.m[r][2] * R2.m[2][cc];
+        double pb[6];
+        lattice_params(basis, pb);
+        bool ok = true;
+        for (int k = 3; k < 6 && ok; ++k)
+          if (std::abs(p1[k] - pb[k]) > angle_tol) ok = false;
+        if (!ok) continue;
+
+        // f2' = f2 @ inv(M) (inv of a unimodular matrix), wrapped
+        Mat3 Minv = inv3(M);
+        for (int i = 0; i < n; ++i) {
+          double fr[3];
+          row_dot(&f2[i * 3], Minv, fr);
+          for (int d = 0; d < 3; ++d)
+            g[i * 3 + d] = fr[d] - std::floor(fr[d]);
+        }
+        Mat3 Binv = inv3(basis);
+
+        // anchor translations
+        for (int j = 0; j < n; ++j) {
+          if ((types2[j] & 0xff) != anchor_sp) continue;
+          double shift[3];
+          for (int d = 0; d < 3; ++d) {
+            shift[d] = g[j * 3 + d] - f1[idx1_anchor * 3 + d];
+            shift[d] -= std::floor(shift[d]);
           }
-          if (i1.size() != i2.size()) {
-            fail = true;
-            break;
-          }
-          int m = (int)i1.size();
-          std::vector<double> cost(m * m);
-          for (int a = 0; a < m; ++a)
-            for (int b = 0; b < m; ++b) {
-              double d[3];
-              for (int dd = 0; dd < 3; ++dd) {
-                double diff = f1[i1[a] * 3 + dd] -
-                              (g[i2[b] * 3 + dd] - shift[dd]);
-                diff -= std::round(diff);
-                d[dd] = diff;
+          // per-species assignment + one translation-refinement pass
+          const double prune = 3.0 * stol * norm;
+          for (int pass = 0; pass < 2; ++pass) {
+            double total_sq = 0, disp_sum[3] = {0, 0, 0};
+            bool fail = false;
+            for (int sp : species) {
+              std::vector<int> i1, i2;
+              for (int i = 0; i < n; ++i) {
+                if ((types1[i] & 0xff) == sp) i1.push_back(i);
+                if ((types2[i] & 0xff) == sp) i2.push_back(i);
               }
-              double cartv[3];
-              row_dot(d, R1, cartv);
-              cost[a * m + b] = norm3(cartv);
-            }
-            std::vector<int> match;
-            hungarian(cost, m, match);
-            for (int a = 0; a < m; ++a) {
-              double dd = cost[a * m + match[a]];
-              if (dd / norm > stol) {
+              if (i1.size() != i2.size()) {
                 fail = true;
                 break;
               }
-              total_sq += dd * dd;
+              int m = (int)i1.size();
+              cost.assign((size_t)m * m, 0.0);
+              // cache matched cart vectors to accumulate the mean disp
+              std::vector<double> cart_all((size_t)m * m * 3);
+              for (int a = 0; a < m; ++a)
+                for (int b = 0; b < m; ++b) {
+                  double d[3];
+                  for (int dd = 0; dd < 3; ++dd) {
+                    double diff = f1[i1[a] * 3 + dd] -
+                                  (g[i2[b] * 3 + dd] - shift[dd]);
+                    diff -= std::round(diff);
+                    d[dd] = diff;
+                  }
+                  double cartv[3];
+                  row_dot(d, basis, cartv);
+                  std::memcpy(&cart_all[((size_t)a * m + b) * 3], cartv,
+                              3 * sizeof(double));
+                  cost[(size_t)a * m + b] = norm3(cartv);
+                }
+              match.clear();
+              hungarian(cost, m, match);
+              for (int a = 0; a < m; ++a) {
+                double dd = cost[(size_t)a * m + match[a]];
+                if (dd > prune) {
+                  fail = true;
+                  break;
+                }
+                total_sq += dd * dd;
+                const double *cv = &cart_all[((size_t)a * m + match[a]) * 3];
+                disp_sum[0] += cv[0];
+                disp_sum[1] += cv[1];
+                disp_sum[2] += cv[2];
+              }
+              if (fail) break;
             }
             if (fail) break;
-        }
-        if (!fail) {
-          double rms = sqrt(total_sq / n);
-          if (rms / norm <= stol) return 1;
+            double rms = sqrt(total_sq / n);
+            if (rms / norm <= stol) return 1;
+            // refine: move shift so the mean displacement vanishes
+            double mean_cart[3] = {disp_sum[0] / n, disp_sum[1] / n,
+                                   disp_sum[2] / n};
+            double mean_frac[3];
+            row_dot(mean_cart, Binv, mean_frac);
+            for (int d = 0; d < 3; ++d) {
+              shift[d] -= mean_frac[d];
+              shift[d] -= std::floor(shift[d]);
+            }
+          }
         }
       }
-    }
-  }
   return 0;
 }
 

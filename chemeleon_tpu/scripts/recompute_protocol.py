@@ -1,0 +1,46 @@
+"""Recompute full-protocol metrics from a cached generation (CPU-only).
+
+The generation cache written by ``chemeleon evaluate --cache-generation``
+(eval/evaluate.py::_packed_generate) is keyed by row position, so metric
+definitions can be iterated without re-sampling 14k structures on the chip.
+Pins jax to CPU before any model import so it can run while a TPU job owns
+the chip (two concurrent TPU clients contend — CLAUDE.md).
+
+Usage:
+  python -m chemeleon_tpu.scripts.recompute_protocol \
+      --model logs/mp40_comp/checkpoints/best --save-path results/full_protocol
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--save-path", required=True)
+    ap.add_argument("--test-data", default="data/mp-40/test.csv")
+    ap.add_argument("--n-samples", type=int, default=20)
+    ap.add_argument("--csp", action="store_true")
+    ap.add_argument("--comp-prior-scale", type=float, default=0.0)
+    ap.add_argument("--sample-steps", type=int, default=0)
+    ap.add_argument("--max-rows", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from chemeleon_tpu.eval.evaluate import test_evaluate
+    from chemeleon_tpu.models.chemeleon import Chemeleon
+
+    model = Chemeleon.load_from_checkpoint(args.model)
+    test_evaluate(model, test_data=args.test_data, n_samples=args.n_samples,
+                  save_path=args.save_path, csp=args.csp,
+                  comp_prior_scale=args.comp_prior_scale,
+                  sample_steps=args.sample_steps, max_rows=args.max_rows,
+                  cache_generation=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -124,13 +124,44 @@ def test_structure_matcher_identity_and_shift():
                  np.roll(types, 1))
     m = StructureMatcher()
     assert m.fit(s1, s2)
-    # distorted beyond stol
+    # moderate distortion: after the pymatgen-style translation
+    # optimization this sits at rms/norm ~= 0.26 < stol=0.3, so the
+    # calibrated matcher accepts it (results/matcher_calibration.json)
     s3 = Crystal(lat, (coords + np.array([[0, 0, 0], [0.3, 0.2, 0.1],
                                           [0, 0.3, 0]])) % 1.0, types)
-    assert not m.fit(s1, s3)
+    assert m.fit(s1, s3)
+    # genuinely different structures: rock-salt vs zinc-blende-like anion
+    # sublattice (same lattice + composition, anion sublattice shifted by
+    # (1/4,1/4,1/4) — no translation/basis can align them within stol)
+    clat = lattice_from_parameters(4.1, 4.1, 4.1, 90, 90, 90)
+    fcc = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    ts8 = [11] * 4 + [17] * 4
+    rs = Crystal(clat, np.concatenate([fcc, (fcc + 0.5) % 1.0]), ts8)
+    zb = Crystal(clat, np.concatenate([fcc, (fcc + 0.25) % 1.0]), ts8)
+    assert not m.fit(rs, zb)
     # different composition
     s4 = Crystal(lat, coords, [22, 8, 16])
     assert not m.fit(s1, s4)
+
+
+def test_structure_matcher_formula_units():
+    """Conventional-vs-primitive matching: an MP ground truth folds to its
+    primitive cell while a noisy generated conventional cell does not;
+    HNF supercell (formula-unit) matching must still match them."""
+    rng = np.random.default_rng(3)
+    lat = lattice_from_parameters(4.1, 4.1, 4.1, 90, 90, 90)
+    # rock-salt conventional cell: 4 Na + 4 Cl
+    na = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    cl = (na + 0.5) % 1.0
+    coords = np.concatenate([na, cl])
+    types = [11] * 4 + [17] * 4
+    gt = Crystal(lat, coords, types)          # folds to 2-atom primitive
+    noisy = Crystal(lat, (coords + rng.normal(0, 0.02, coords.shape)) % 1.0,
+                    types)                    # does not fold exactly
+    m = StructureMatcher()
+    assert m.fit(gt, noisy)
+    # and both python + native backends agree
+    assert StructureMatcher(backend="python").fit(gt, noisy)
 
 
 def test_structure_matcher_grouping():
