@@ -118,6 +118,12 @@ def main():
                            (comp and comp_mode == "prior (bias types)")):
             # /generate carries per-request priors and lattice clamps
             # (non-streaming: one final snapshot, no per-step progress)
+            if comp and comp_mode == "CSP (clamp types)":
+                # the /generate wire protocol has no fixed_types field, so
+                # the composition clamp would be silently dropped here
+                st.warning("CSP type clamping is local-only; the remote "
+                           "/generate call honors the lattice clamp but "
+                           "ignores the CSP composition clamp.")
             from chemeleon_tpu.serve.client import generate
             prior = comp if comp and comp_mode == "prior (bias types)" \
                 else None

@@ -130,10 +130,13 @@ def project_lattice_system(l: jnp.ndarray, sys_ids: jnp.ndarray,
     al2 = jnp.where(set_a90, 90.0, al2)
     be2 = jnp.where(set_b90, 90.0, be2)
     ga2 = jnp.where(k == 6, 120.0, jnp.where(set_g90, 90.0, ga2))
-    # keep rhombohedral away from the degenerate arccos branch
-    al2 = jnp.where(tie_ang, jnp.clip(al2, 5.0, 175.0), al2)
-    be2 = jnp.where(tie_ang, jnp.clip(be2, 5.0, 175.0), be2)
-    ga2 = jnp.where(tie_ang, jnp.clip(ga2, 5.0, 175.0), ga2)
+    # keep rhombohedral away from the degenerate branch: an a=b=c cell with
+    # alpha=beta=gamma >= 120 deg has zero volume (the three rows become
+    # coplanar), so clip the tied angle strictly below it — pure-noise init
+    # states can average above 120 and would otherwise emit a singular cell
+    al2 = jnp.where(tie_ang, jnp.clip(al2, 5.0, 115.0), al2)
+    be2 = jnp.where(tie_ang, jnp.clip(be2, 5.0, 115.0), be2)
+    ga2 = jnp.where(tie_ang, jnp.clip(ga2, 5.0, 115.0), ga2)
 
     proj = lattice_from_params_jax(a2, b2, c2, al2, be2, ga2)
     return jnp.where((k == 0)[:, None, None], l, proj)

@@ -132,7 +132,10 @@ def property_columns(crystal, row: Dict[str, str]) -> Dict[str, str]:
 
 
 def _parse_created_at(s: str) -> datetime:
-    return datetime.strptime(s.split(".")[0], "%Y-%m-%d %H:%M:%S")
+    # accept both "YYYY-mm-dd HH:MM:SS" and ISO "T"-separated timestamps
+    # (Materials Project API exports use the latter)
+    return datetime.strptime(s.split(".")[0].replace("T", " "),
+                             "%Y-%m-%d %H:%M:%S")
 
 
 def load_created_at(path: Path = CREATED_AT_CSV) -> Dict[str, str]:
@@ -187,8 +190,14 @@ def prepare(dump: str, out_dir: str, max_sites: int = 40,
     cutoff_dt = datetime.strptime(cutoff, "%Y-%m-%d")
     dated = [r for r in rows if r["created_at"]]
     undated = len(rows) - len(dated)
+    # undated rows cannot leak future structures into train, so route them
+    # to the train side of the time split instead of dropping them
     train_val = [r for r in dated
                  if _parse_created_at(r["created_at"]) < cutoff_dt]
+    train_val += [r for r in rows if not r["created_at"]]
+    # re-shuffle so the appended undated rows don't all land in the
+    # tail-sliced val split
+    random.Random(seed + 1).shuffle(train_val)
     test = [r for r in dated
             if _parse_created_at(r["created_at"]) >= cutoff_dt]
     n_val = int(len(train_val) * val_frac)

@@ -75,6 +75,11 @@ def probe(model, steps_ladder, per_bucket: int, seed: int = 0):
         k_detail = {}
         tot = {"n": 0, "valid": 0, "relaxed": 0, "match": 0}
         for bucket, chunk in CHUNK.items():
+            if not fit[bucket]:
+                # whole-chunk trimming can empty a sparse bucket; skip it
+                # rather than dividing by zero at the summary
+                print(f"K={K or 'full'} N<={bucket}: no fitting rows, skip")
+                continue
             n_valid = n_relax = n_match = n_tot = 0
             timed_s, timed_n = 0.0, 0
             for i in range(0, len(fit[bucket]), chunk):
