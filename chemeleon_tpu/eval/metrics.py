@@ -111,12 +111,22 @@ def test_meta_stable(st_list: List[Crystal], ref_st: Crystal,
 
 
 def default_calculator() -> Optional[Callable[[Crystal], float]]:
-    """MACE when available (reference evaluate.py:74), else None."""
+    """MACE when available (reference evaluate.py:74); otherwise the
+    documented in-repo ionic-potential surrogate (chem/energy.py — Ewald +
+    Born-Mayer + dispersion, calibrated in results/energy_calibration.json)
+    so the meta_stable column is a number instead of NaN.
+
+    Set ``CHEMTPU_ENERGY_SURROGATE=0`` to restore the reference behavior
+    (NaN without MACE)."""
     try:
         from mace.calculators import mace_mp  # noqa: F401
         from ase import Atoms  # noqa: F401
     except ImportError:
-        return None
+        import os
+        if os.environ.get("CHEMTPU_ENERGY_SURROGATE", "1") == "0":
+            return None
+        from chemeleon_tpu.chem.energy import surrogate_calculator
+        return surrogate_calculator()
     mace_calc = mace_mp(default_dtype="float32", device="cpu")
 
     def calc(st: Crystal) -> float:
