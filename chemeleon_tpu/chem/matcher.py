@@ -187,6 +187,37 @@ class StructureMatcher:
                 return True
         return False
 
+    def get_rms_dist(self, s1: Crystal, s2: Crystal,
+                     max_rms: float = 4.0) -> Optional[float]:
+        """Best normalized RMS displacement over all candidate bases /
+        translations (pymatgen's ``get_rms_dist`` analog; diagnostics API).
+
+        Searches with the acceptance threshold relaxed to ``max_rms`` (in
+        units of (V/n)^(1/3)) and returns the smallest normalized rms found,
+        or None when no lattice mapping exists within (ltol, angle_tol) or
+        compositions/sizes are incompatible. ``fit() is True`` iff
+        ``get_rms_dist() <= stol`` for the same tolerances. Always uses the
+        python backend (the native kernel returns only the boolean)."""
+        if self.primitive_cell:
+            s1, s2 = self._primitive(s1), self._primitive(s2)
+        if s1.reduced_composition() != s2.reduced_composition():
+            return None
+        probe = StructureMatcher(ltol=self.ltol, stol=max_rms,
+                                 angle_tol=self.angle_tol,
+                                 primitive_cell=False, scale=self.scale,
+                                 backend="python")
+        probe._best_rms = None          # collected by _sites_match
+        cands = [(s1, s2)] if len(s1) == len(s2) else []
+        if not cands and self.primitive_cell:
+            small, big = (s1, s2) if len(s1) < len(s2) else (s2, s1)
+            if len(big) % len(small) == 0 and \
+                    len(big) // len(small) <= self._MAX_FU:
+                cands = [(_supercell(small, H), big)
+                         for H in _hnf_matrices(len(big) // len(small))]
+        for a, b in cands:
+            probe._fit_same_size(a, b)
+        return probe._best_rms
+
     def _fit_same_size(self, s1: Crystal, s2: Crystal) -> bool:
         if sorted(s1.atom_types.tolist()) != sorted(s2.atom_types.tolist()):
             return False
@@ -287,8 +318,13 @@ class StructureMatcher:
                 disp_sum += cart[ri, ci].sum(axis=0)
             if not ok:
                 return False
-            rms = (total_sq / n) ** 0.5
-            if rms / norm <= self.stol:
+            rms = (total_sq / n) ** 0.5 / norm
+            if hasattr(self, "_best_rms"):
+                # rms-collection mode (get_rms_dist): record the minimum and
+                # keep searching instead of accepting
+                if self._best_rms is None or rms < self._best_rms:
+                    self._best_rms = rms
+            elif rms <= self.stol:
                 return True
             # refine: shift so the mean displacement vanishes
             # (disp = f1 - (f2p - shift); zeroing the mean moves shift by

@@ -214,7 +214,8 @@ def sampler_step(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
                  fixed_types: Optional[jnp.ndarray] = None,
                  type_prior: Optional[jnp.ndarray] = None,
                  s: Optional[jnp.ndarray] = None,
-                 lattice_sys: Optional[jnp.ndarray] = None) -> SamplerState:
+                 lattice_sys: Optional[jnp.ndarray] = None,
+                 corrector_noise: float = 1.0) -> SamplerState:
     """One reverse step t -> t-1 (predictor + corrector).
 
     ``s`` switches to the strided (few-step) update t -> s for an arbitrary
@@ -327,7 +328,10 @@ def sampler_step(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
         cond_scale, text_embeds, null_text_embeds)
     step2 = step_lr * (sx / sched.sigma.sigma_begin) ** 2
     std2 = jnp.sqrt(2.0 * step2)
-    rand_x2 = jax.random.normal(k_x2, (B, N, 3)) * not_last
+    # corrector_noise scales ONLY the Langevin noise injection (1.0 =
+    # reference parity; 0.0 = deterministic corrector drift) — the
+    # validity-tuning knob swept in scripts/probe_step_lr.py
+    rand_x2 = jax.random.normal(k_x2, (B, N, 3)) * not_last * corrector_noise
     x_next = x_half - step2 * (pred_x2 * jnp.sqrt(sn)) + std2 * rand_x2
 
     return SamplerState(atom_types=a_next, lattices=l_next,
@@ -367,7 +371,8 @@ def run_sampler_scan(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
                      record_traj: bool, stride: int = 1,
                      fixed_types: Optional[jnp.ndarray] = None,
                      type_prior: Optional[jnp.ndarray] = None,
-                     lattice_sys: Optional[jnp.ndarray] = None):
+                     lattice_sys: Optional[jnp.ndarray] = None,
+                     corrector_noise: float = 1.0):
     """Scan the reverse process over ``ts``.
 
     ``ts`` is either [K] descending consecutive timesteps (the
@@ -387,7 +392,8 @@ def run_sampler_scan(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
                             mask, text_embeds, null_text_embeds, key,
                             cond_scale, step_lr, fixed_types=fixed_types,
                             type_prior=type_prior, s=s,
-                            lattice_sys=lattice_sys)
+                            lattice_sys=lattice_sys,
+                            corrector_noise=corrector_noise)
 
     unroll = max(1, int(getattr(cfg, "sampler_scan_unroll", 1)))
     if not record_traj or stride <= 1:
@@ -521,7 +527,7 @@ class Chemeleon:
         @functools.partial(jax.jit, static_argnames=())
         def run(params, natoms, text_embeds, null_text_embeds, key,
                 cond_scale, step_lr, ts, fixed_types=None, state_in=None,
-                type_prior=None, lattice_sys=None):
+                type_prior=None, lattice_sys=None, corrector_noise=1.0):
             if state_in is None:
                 state, mask = init_sampler_state(key, natoms, n_max,
                                                  fixed_types=fixed_types,
@@ -535,7 +541,8 @@ class Chemeleon:
                 null_text_embeds if cfg.text_guide else None,
                 jax.random.fold_in(key, 1), cond_scale, step_lr, record_traj,
                 stride=stride, fixed_types=fixed_types,
-                type_prior=type_prior, lattice_sys=lattice_sys)
+                type_prior=type_prior, lattice_sys=lattice_sys,
+                corrector_noise=corrector_noise)
             return final, traj
 
         self._sampler_cache[sig] = run
@@ -659,7 +666,8 @@ class Chemeleon:
                      comp_prior: Optional[List[Optional[str]]] = None,
                      comp_prior_scale: float = 1.0,
                      sample_steps: Optional[int] = None,
-                     lattice_system=None):
+                     lattice_system=None,
+                     corrector_noise: float = 1.0):
         """Batched sampling API (heals the reference's API skew — SURVEY §3.5:
         evaluate.py/dash_app.py call an older (natoms, texts) signature).
 
@@ -688,7 +696,11 @@ class Chemeleon:
         Bravais metric constraints every reverse step (ops/lattice_proj;
         see sampler_step). Composable with ``fixed_types`` (CSP): together
         they guarantee exact composition AND lattice system by
-        construction."""
+        construction.
+
+        ``corrector_noise``: multiplier on the Langevin corrector's noise
+        injection (1.0 = reference parity, 0.0 = deterministic corrector
+        drift). Swept for validity in scripts/probe_step_lr.py."""
         cfg = self.cfg
         if sample_steps is None:
             sample_steps = cfg.sample_steps
@@ -746,7 +758,8 @@ class Chemeleon:
         final, traj = run(decoder_params, batch_natoms, text_embeds,
                           null_embeds, key, cond_scale, step_lr, ts,
                           fixed_types=ftypes, type_prior=type_prior,
-                          lattice_sys=lsys_ids)
+                          lattice_sys=lsys_ids,
+                          corrector_noise=corrector_noise)
 
         natoms_np = np.asarray(batch0.natoms)
         if return_trajectory:
