@@ -182,9 +182,13 @@ def cli_sample_prompt(text_input, n_atoms, n_samples, save_dir,
               help="Few-step sampling: run K < timesteps strided reverse "
                    "steps (~T/K faster, measured validity cost — BENCH.md). "
                    "0 = the full reference-parity schedule.")
+@click.option("--fixed-cell", is_flag=True, default=False,
+              help="Clamp each row's lattice to its own (Niggli-canonical) "
+                   "ground-truth cell — known-cell protocol; combine with "
+                   "--csp for Rietveld-style coordinate-only diffusion.")
 def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
                  max_rows, csp, pack_rows, cache_generation,
-                 comp_prior_scale, sample_steps):
+                 comp_prior_scale, sample_steps, fixed_cell):
     from chemeleon_tpu.eval.evaluate import test_evaluate
     from chemeleon_tpu.models.chemeleon import Chemeleon
 
@@ -196,7 +200,7 @@ def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
                   max_rows=max_rows, csp=csp, pack_rows=pack_rows,
                   cache_generation=cache_generation,
                   comp_prior_scale=comp_prior_scale,
-                  sample_steps=sample_steps)
+                  sample_steps=sample_steps, fixed_cell=fixed_cell)
 
 
 @cli.command(name="retrieval",

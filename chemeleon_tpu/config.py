@@ -308,6 +308,19 @@ NAMED_CONFIGS: Dict[str, Dict[str, Any]] = {
         text_targets=("composition",), text_encoder="composition",
         text_embed_dim=256, trainable_text_encoder=True,
         text_encoder_lr=1e-3),  # from-scratch MLP, not a BERT finetune
+    # prompt mode on the same featurizer tower: extract_composition's token
+    # scan + the crystal-system word + bag-of-words residual make the
+    # free-form mp-40 prompts semantically live offline (the reference's
+    # headline conditioning mode needs MatSciBERT for this)
+    "chemeleon_prompt_featurized": _preset(
+        exp_name="chemeleon_prompt_featurized", group_name="prompt",
+        text_targets=("prompt",), text_encoder="composition",
+        text_embed_dim=256, trainable_text_encoder=True),
+    "clip_prompt_featurized": _preset(
+        exp_name="clip_prompt_featurized", group_name="crystal_clip",
+        text_targets=("prompt",), text_encoder="composition",
+        text_embed_dim=256, trainable_text_encoder=True,
+        text_encoder_lr=1e-3),
 }
 
 

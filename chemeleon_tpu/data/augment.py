@@ -71,6 +71,47 @@ def composition_text(atom_types: Sequence[int]) -> str:
     return " ".join(f"{s}{counts[s] // g}" for s in sorted(counts))
 
 
+def symbol_mapping(old_types: np.ndarray,
+                   new_types: np.ndarray) -> Dict[str, str]:
+    """Element-symbol rename implied by a substitution (old -> new)."""
+    out: Dict[str, str] = {}
+    for o, n in zip(np.asarray(old_types), np.asarray(new_types)):
+        if int(o) != int(n):
+            out[symbol_of(int(o))] = symbol_of(int(n))
+    return out
+
+
+def rewrite_formula_tokens(text: str, mapping: Dict[str, str]) -> str:
+    """Rewrite every formula-looking token in free text under an element
+    rename ("CaO10" with Ca->Sr, O->S becomes "SrS10"). Isovalent
+    substitution is a pure 1:1 symbol rename, so prompts stay label-correct
+    — this is what lets substitution augmentation apply to the free-form
+    ``prompt`` column (the embedded formula is the only prompt content the
+    substitution invalidates)."""
+    import re as _re
+    from chemeleon_tpu.chem.composition import parse_composition
+
+    def _plausible_formula(tok: str) -> bool:
+        try:
+            comp = parse_composition(tok)
+        except (ValueError, RecursionError):
+            return False
+        return bool(comp) and (any(ch.isdigit() for ch in tok)
+                               or len(comp) >= 2)
+
+    def _rewrite(tok: str) -> str:
+        body = tok.strip(".,;:!?\"'")
+        if not body or not _plausible_formula(body):
+            return tok
+        new_body = _re.sub(r"[A-Z][a-z]?",
+                           lambda m: mapping.get(m.group(0), m.group(0)),
+                           body)
+        return tok.replace(body, new_body, 1)
+
+    parts = _re.split(r"(\s+)", text)
+    return "".join(p if p.isspace() else _rewrite(p) for p in parts)
+
+
 def substitute_types(atom_types: np.ndarray, rng: np.random.Generator,
                      p_species: float) -> Optional[np.ndarray]:
     """Per-species isovalent substitution with probability ``p_species``.
@@ -129,10 +170,12 @@ class AugmentedView:
         self.p_species = float(p_species)
         self.seed = int(seed)
         targets = set(getattr(dataset, "text_targets", []) or [])
-        # free-form targets (e.g. the LLM "prompt" column) embed the
-        # composition in prose we cannot rewrite — augmenting under them
-        # would train prompt/structure DISAGREEMENT, so disable
-        self.enabled = targets <= ({"composition"} | self.INVARIANT_TARGETS)
+        # composition columns are rebuilt from the substituted types; the
+        # free-form "prompt" column is rewritten token-wise (substitution is
+        # a 1:1 symbol rename, rewrite_formula_tokens) — only targets
+        # outside this set would train prompt/structure DISAGREEMENT
+        self.enabled = targets <= ({"composition", "prompt"}
+                                   | self.INVARIANT_TARGETS)
 
     def __len__(self) -> int:
         return len(self.dataset)
@@ -149,19 +192,25 @@ class AugmentedView:
         if new_types is None:
             return item
         s = lattice_scale(item["atom_types"], new_types)
+        mapping = symbol_mapping(item["atom_types"], new_types)
         item["atom_types"] = new_types
         item["lattice"] = np.asarray(item["lattice"], dtype=np.float32) * s
         if "text" in item:
-            item["text"] = self._rewrite_text(idx, new_types)
+            item["text"] = self._rewrite_text(idx, new_types, mapping)
         return item
 
-    def _rewrite_text(self, idx: int, new_types: np.ndarray) -> str:
-        """Rebuild the prompt with the substituted composition; non-
-        composition targets (crystal_system, ...) are invariant under
-        isovalent substitution + isotropic rescale and pass through."""
+    def _rewrite_text(self, idx: int, new_types: np.ndarray,
+                      mapping: Dict[str, str]) -> str:
+        """Rebuild the conditioning text for the substituted structure:
+        composition columns from the new types, the free-form prompt by
+        renaming its formula tokens; invariant targets (crystal_system, ...)
+        pass through unchanged."""
         targets = list(getattr(self.dataset, "text_targets", []) or [])
         row = dict(self.dataset.rows[idx])
         row["composition"] = composition_text(new_types)
+        if "prompt" in targets:
+            row["prompt"] = rewrite_formula_tokens(
+                str(row.get("prompt", "")), mapping)
         if len(targets) <= 1:
             return str(row[targets[0]]) if targets else ""
         return ", ".join(f"{t}: {row[t]}" for t in targets)

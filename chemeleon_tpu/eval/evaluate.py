@@ -73,7 +73,7 @@ def _packed_generate(model, parsed, n_samples, cond_scale, key,
                      pack_rows: int = 8, csp: bool = False,
                      comp_prior_scale: float = 0.0,
                      cache_dir: Optional[Path] = None,
-                     sample_steps: int = 0):
+                     sample_steps: int = 0, fixed_cell: bool = False):
     """TPU-first generation: pack several test rows into one sampler batch
     (grouped by padding bucket), instead of one sampler call per row like
     the reference (evaluate.py:94-99). Returns {row_index: [Crystal]}.
@@ -105,6 +105,8 @@ def _packed_generate(model, parsed, n_samples, cond_scale, key,
     # pre-tag csp/prior cache ever existed) stays valid.
     tag = ("_csp" if csp else
            f"_prior{comp_prior_scale:g}" if comp_prior_scale > 0 else "")
+    if fixed_cell:
+        tag += "_cell"  # known-cell (clamped lattice) runs
     if sample_steps:
         tag += f"_k{sample_steps}"  # few-step runs get their own cache
     for bucket, idxs in sorted(by_bucket.items()):
@@ -115,13 +117,20 @@ def _packed_generate(model, parsed, n_samples, cond_scale, key,
             if cpath is not None and cpath.exists():
                 gen = _load_gen_chunk(cpath)
             else:
-                natoms, texts, ftypes, comps = [], [], [], []
+                natoms, texts, ftypes, comps, cells = [], [], [], [], []
                 for i in chunk:
                     test_st, text = parsed[i]
                     natoms += [len(test_st)] * n_samples
                     texts += [text] * n_samples
                     ftypes += [np.asarray(test_st.atom_types)] * n_samples
                     comps += [test_st.reduced_formula()] * n_samples
+                    if fixed_cell:
+                        # clamp to the row's own cell in the training frame
+                        # (Niggli + canonicalize, data/mp_dataset.py)
+                        from chemeleon_tpu.data.mp_dataset import \
+                            preprocess_structure
+                        cells += [preprocess_structure(test_st).lattice
+                                  ] * n_samples
                 # sub-batch so the compiled sampler stays inside the device
                 # memory budget at large buckets (see _max_gen_batch)
                 rows_per_call = max(
@@ -141,6 +150,7 @@ def _packed_generate(model, parsed, n_samples, cond_scale, key,
                                     else None),
                         comp_prior_scale=comp_prior_scale,
                         sample_steps=sample_steps or None,
+                        fixed_lattice=cells[sl] if fixed_cell else None,
                         key=jax.random.fold_in(kb, p))
                 if cpath is not None:
                     _save_gen_chunk(cpath, gen)
@@ -157,7 +167,8 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
                   progress: bool = True, pack_rows: int = 8,
                   csp: bool = False, comp_prior_scale: float = 0.0,
                   cache_generation: bool = False,
-                  sample_steps: int = 0) -> Dict[str, float]:
+                  sample_steps: int = 0,
+                  fixed_cell: bool = False) -> Dict[str, float]:
     """Evaluate ``model`` (a Chemeleon with params loaded) on the test CSV.
 
     ``pack_rows`` > 1 batches several rows per compiled sampler call (same
@@ -202,7 +213,7 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
         pack_rows=max(1, pack_rows), csp=csp,
         comp_prior_scale=comp_prior_scale,
         cache_dir=Path(save_path) / "gen_cache" if cache_generation else None,
-        sample_steps=sample_steps)
+        sample_steps=sample_steps, fixed_cell=fixed_cell)
 
     it = [(i, rows[i]) for i in sorted(parsed)]
     if progress:

@@ -215,7 +215,8 @@ def sampler_step(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
                  type_prior: Optional[jnp.ndarray] = None,
                  s: Optional[jnp.ndarray] = None,
                  lattice_sys: Optional[jnp.ndarray] = None,
-                 corrector_noise: float = 1.0) -> SamplerState:
+                 corrector_noise: float = 1.0,
+                 fixed_lattice: Optional[jnp.ndarray] = None) -> SamplerState:
     """One reverse step t -> t-1 (predictor + corrector).
 
     ``s`` switches to the strided (few-step) update t -> s for an arbitrary
@@ -310,6 +311,11 @@ def sampler_step(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
     if lattice_sys is not None:
         from chemeleon_tpu.ops.lattice_proj import project_lattice_system
         l_next = project_lattice_system(l_next, lattice_sys) * lmask
+    if fixed_lattice is not None:
+        # fixed-cell mode (the exact-cell sibling of lattice_sys): the cell
+        # is KNOWN (already canonical/scaled host-side) and clamped every
+        # step — only coordinates (and types, unless CSP) diffuse
+        l_next = fixed_lattice
 
     # coords half-step: VE ancestral (chemeleon.py:426-437); the strided
     # path anneals straight to sigma[s] (sigmas[0] == 0, so the final jump
@@ -342,6 +348,7 @@ def init_sampler_state(key: jax.Array, natoms: jnp.ndarray,
                        n_max: int,
                        fixed_types: Optional[jnp.ndarray] = None,
                        lattice_sys: Optional[jnp.ndarray] = None,
+                       fixed_lattice: Optional[jnp.ndarray] = None,
                        ) -> Tuple[SamplerState, jnp.ndarray]:
     """Pure-noise init (chemeleon.py:346-349): a_T all-dummy, l_T masked
     N(0,1), x_T N(0,1) wrapped. In CSP mode (``fixed_types``) a_T starts at
@@ -357,6 +364,8 @@ def init_sampler_state(key: jax.Array, natoms: jnp.ndarray,
     if lattice_sys is not None:
         from chemeleon_tpu.ops.lattice_proj import project_lattice_system
         l_T = project_lattice_system(l_T, lattice_sys) * lmask
+    if fixed_lattice is not None:
+        l_T = fixed_lattice  # fixed-cell mode: start AT the known cell
     x_T = jax.random.normal(k_x, (B, n_max, 3))
     mask = node_mask(natoms, n_max)
     return SamplerState(a_T, l_T, x_T % 1.0), mask
@@ -372,7 +381,8 @@ def run_sampler_scan(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
                      fixed_types: Optional[jnp.ndarray] = None,
                      type_prior: Optional[jnp.ndarray] = None,
                      lattice_sys: Optional[jnp.ndarray] = None,
-                     corrector_noise: float = 1.0):
+                     corrector_noise: float = 1.0,
+                     fixed_lattice: Optional[jnp.ndarray] = None):
     """Scan the reverse process over ``ts``.
 
     ``ts`` is either [K] descending consecutive timesteps (the
@@ -393,7 +403,8 @@ def run_sampler_scan(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
                             cond_scale, step_lr, fixed_types=fixed_types,
                             type_prior=type_prior, s=s,
                             lattice_sys=lattice_sys,
-                            corrector_noise=corrector_noise)
+                            corrector_noise=corrector_noise,
+                            fixed_lattice=fixed_lattice)
 
     unroll = max(1, int(getattr(cfg, "sampler_scan_unroll", 1)))
     if not record_traj or stride <= 1:
@@ -515,10 +526,11 @@ class Chemeleon:
     # -- sampling ------------------------------------------------------------
     def _get_compiled_sampler(self, B: int, n_max: int, record_traj: bool,
                               chunk: Optional[int], csp: bool = False,
-                              prior: bool = False, lsys: bool = False):
+                              prior: bool = False, lsys: bool = False,
+                              flat: bool = False):
         stride = self.cfg.trajectory_stride if record_traj else 1
         sig = (B, n_max, record_traj, chunk, self.cfg.text_guide, stride, csp,
-               prior, lsys)
+               prior, lsys, flat)
         if sig in self._sampler_cache:
             return self._sampler_cache[sig]
 
@@ -527,11 +539,13 @@ class Chemeleon:
         @functools.partial(jax.jit, static_argnames=())
         def run(params, natoms, text_embeds, null_text_embeds, key,
                 cond_scale, step_lr, ts, fixed_types=None, state_in=None,
-                type_prior=None, lattice_sys=None, corrector_noise=1.0):
+                type_prior=None, lattice_sys=None, corrector_noise=1.0,
+                fixed_lattice=None):
             if state_in is None:
                 state, mask = init_sampler_state(key, natoms, n_max,
                                                  fixed_types=fixed_types,
-                                                 lattice_sys=lattice_sys)
+                                                 lattice_sys=lattice_sys,
+                                                 fixed_lattice=fixed_lattice)
             else:
                 state = state_in
                 mask = node_mask(natoms, n_max)
@@ -542,7 +556,8 @@ class Chemeleon:
                 jax.random.fold_in(key, 1), cond_scale, step_lr, record_traj,
                 stride=stride, fixed_types=fixed_types,
                 type_prior=type_prior, lattice_sys=lattice_sys,
-                corrector_noise=corrector_noise)
+                corrector_noise=corrector_noise,
+                fixed_lattice=fixed_lattice)
             return final, traj
 
         self._sampler_cache[sig] = run
@@ -638,6 +653,34 @@ class Chemeleon:
                 type_prior = jnp.asarray(prior_np)
         return ftypes, type_prior
 
+    def _prepare_fixed_lattice(self, natoms: List[int], B: int,
+                               fixed_lattice, lattice_system):
+        """[B, 3, 3] clamped cells (canonicalized to the training frame's
+        zero pattern) from one matrix or a per-structure list. Mutually
+        exclusive with lattice_system (an exact cell already implies its
+        system)."""
+        if fixed_lattice is None:
+            return None
+        if lattice_system is not None:
+            raise ValueError("fixed_lattice and lattice_system are mutually "
+                             "exclusive: an exact cell already pins the "
+                             "lattice system")
+        from chemeleon_tpu.chem.lattice import canonicalize_lattice
+        mats = (list(fixed_lattice)
+                if isinstance(fixed_lattice, (list, tuple))
+                else [fixed_lattice] * len(natoms))
+        if len(mats) != len(natoms):
+            raise ValueError("fixed_lattice and natoms must have the same "
+                             "number of elements.")
+        arr = np.zeros((B, 3, 3), np.float32)
+        arr[:, 0, 0] = arr[:, 1, 1] = arr[:, 2, 2] = 1.0  # benign pad rows
+        for i, m in enumerate(mats):
+            m = np.asarray(m, np.float64)
+            if m.shape != (3, 3):
+                raise ValueError(f"fixed_lattice[{i}] must be 3x3")
+            arr[i] = canonicalize_lattice(m)
+        return jnp.asarray(arr)
+
     def _prepare_lattice_system(self, natoms: List[int], B: int,
                                 lattice_system):
         """[B] int32 system ids (0 = free, incl. padding rows) from a single
@@ -667,7 +710,8 @@ class Chemeleon:
                      comp_prior_scale: float = 1.0,
                      sample_steps: Optional[int] = None,
                      lattice_system=None,
-                     corrector_noise: float = 1.0):
+                     corrector_noise: float = 1.0,
+                     fixed_lattice=None):
         """Batched sampling API (heals the reference's API skew — SURVEY §3.5:
         evaluate.py/dash_app.py call an older (natoms, texts) signature).
 
@@ -700,7 +744,14 @@ class Chemeleon:
 
         ``corrector_noise``: multiplier on the Langevin corrector's noise
         injection (1.0 = reference parity, 0.0 = deterministic corrector
-        drift). Swept for validity in scripts/probe_step_lr.py."""
+        drift). Swept for validity in scripts/probe_step_lr.py.
+
+        ``fixed_lattice``: optional per-structure 3x3 cell matrices (or one
+        matrix for all rows) — the cell is KNOWN and clamped every step
+        (canonicalized host-side to the training frame), so only
+        coordinates (and types, unless ``fixed_types``) diffuse. The
+        exact-cell sibling of ``lattice_system``; with ``fixed_types`` this
+        is Rietveld-style structure solution at a known cell."""
         cfg = self.cfg
         if sample_steps is None:
             sample_steps = cfg.sample_steps
@@ -710,6 +761,8 @@ class Chemeleon:
         ftypes, type_prior = self._prepare_type_conditioning(
             natoms, B, N, fixed_types, comp_prior, comp_prior_scale)
         lsys_ids = self._prepare_lattice_system(natoms, B, lattice_system)
+        flat = self._prepare_fixed_lattice(natoms, B, fixed_lattice,
+                                           lattice_system)
 
         decoder_params = self.params["decoder"]
         batch_natoms = batch0.natoms
@@ -733,6 +786,8 @@ class Chemeleon:
                 type_prior = shard(type_prior)
             if lsys_ids is not None:
                 lsys_ids = shard(lsys_ids)
+            if flat is not None:
+                flat = shard(flat)
             # replicate params once per (mesh, params), not per call (serving
             # hot path). Identity-compare BOTH sources and keep them alive in
             # the cache entry: keying on id(mesh) alone served stale weights
@@ -753,13 +808,15 @@ class Chemeleon:
         run = self._get_compiled_sampler(B, N, return_trajectory, None,
                                          csp=ftypes is not None,
                                          prior=type_prior is not None,
-                                         lsys=lsys_ids is not None)
+                                         lsys=lsys_ids is not None,
+                                         flat=flat is not None)
         ts = strided_sample_ts(cfg.timesteps, sample_steps)
         final, traj = run(decoder_params, batch_natoms, text_embeds,
                           null_embeds, key, cond_scale, step_lr, ts,
                           fixed_types=ftypes, type_prior=type_prior,
                           lattice_sys=lsys_ids,
-                          corrector_noise=corrector_noise)
+                          corrector_noise=corrector_noise,
+                          fixed_lattice=flat)
 
         natoms_np = np.asarray(batch0.natoms)
         if return_trajectory:
@@ -773,7 +830,8 @@ class Chemeleon:
             # it host-side reproduces exactly what the scan started from.
             state0, _ = init_sampler_state(key, batch0.natoms, N,
                                            fixed_types=ftypes,
-                                           lattice_sys=lsys_ids)
+                                           lattice_sys=lsys_ids,
+                                           fixed_lattice=flat)
             container[cfg.timesteps] = TrajectoryStep(
                 natoms=natoms_np,
                 atom_types=np.asarray(state0.atom_types),

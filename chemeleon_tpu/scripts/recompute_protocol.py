@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--test-data", default="data/mp-40/test.csv")
     ap.add_argument("--n-samples", type=int, default=20)
     ap.add_argument("--csp", action="store_true")
+    ap.add_argument("--fixed-cell", action="store_true")
     ap.add_argument("--comp-prior-scale", type=float, default=0.0)
     ap.add_argument("--sample-steps", type=int, default=0)
     ap.add_argument("--max-rows", type=int, default=None)
@@ -39,7 +40,7 @@ def main():
                   save_path=args.save_path, csp=args.csp,
                   comp_prior_scale=args.comp_prior_scale,
                   sample_steps=args.sample_steps, max_rows=args.max_rows,
-                  cache_generation=True)
+                  cache_generation=True, fixed_cell=args.fixed_cell)
 
 
 if __name__ == "__main__":

@@ -21,7 +21,9 @@ Feature layout ([FEAT_DIM] = 128, lane-aligned):
   [105:112] crystal-system one-hot (triclinic..cubic) when a system word
             appears in the text
   [112]     1.0 when a composition was successfully parsed
-  [113:128] reserved (zeros)
+  [113:128] bag-of-words hash residual over the remaining (non-formula,
+            non-system) tokens — free-text signal for prompt conditioning
+            (signed feature hashing, scaled 1/sqrt(n_tokens))
 """
 
 from __future__ import annotations
@@ -106,6 +108,34 @@ def extract_crystal_system(text: str) -> Optional[int]:
     return None
 
 
+_BOW_LO, _BOW_HI = 113, FEAT_DIM
+
+
+def _bow_residual(text: str) -> np.ndarray:
+    """Signed feature hashing of the non-formula, non-system words —
+    free-text tokens ("unique", "arrangement", "exhibiting", ...) the
+    structured features do not capture."""
+    import hashlib
+    dim = _BOW_HI - _BOW_LO
+    out = np.zeros((dim,), np.float32)
+    words = []
+    for tok in _TOKEN_SPLIT_RE.split(text):
+        tok = tok.strip(_STRIP_CHARS)
+        low = tok.lower()
+        if not tok or low in CRYSTAL_SYSTEMS:
+            continue
+        comp = _try_parse(tok)
+        if comp and _plausible(comp, tok):
+            continue  # formula token, already covered by [0:103]
+        words.append(low)
+    for w in words:
+        h = hashlib.sha256(w.encode()).digest()
+        out[h[0] % dim] += 1.0 if h[1] % 2 else -1.0
+    if words:
+        out /= np.sqrt(len(words))
+    return out
+
+
 def featurize_text(text: str) -> np.ndarray:
     """One conditioning string -> [FEAT_DIM] float32 feature vector."""
     f = np.zeros((FEAT_DIM,), np.float32)
@@ -120,6 +150,7 @@ def featurize_text(text: str) -> np.ndarray:
     cs = extract_crystal_system(text)
     if cs is not None:
         f[105 + cs] = 1.0
+    f[_BOW_LO:_BOW_HI] = _bow_residual(text)
     return f
 
 

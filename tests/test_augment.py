@@ -124,13 +124,28 @@ def test_view_identity_at_zero_prob_and_natoms_stable():
     np.testing.assert_array_equal(view.natoms(), ds.natoms())
 
 
-def test_view_disabled_for_free_form_prompt_targets():
+def test_view_rewrites_free_form_prompt_targets():
+    """Round 4: the prompt column IS augmentable — formula tokens are
+    renamed under the substitution (rewrite_formula_tokens)."""
     ds = FakeDataset()
     ds.text_targets = ["prompt"]
+    ds.rows = [{"prompt": "Cubic structure of O2Ti compound"},
+               {"prompt": "Rock salt Cl1Na1 arrangement"}]
     view = AugmentedView(ds, 1.0, seed=0)
-    assert not view.enabled
-    np.testing.assert_array_equal(view[0]["atom_types"],
-                                  ds[0]["atom_types"])
+    assert view.enabled
+    item = view[0]
+    if not np.array_equal(item["atom_types"], ds[0]["atom_types"]):
+        from chemeleon_tpu.data.augment import composition_text, \
+            symbol_mapping
+        mapping = symbol_mapping(ds[0]["atom_types"], item["atom_types"])
+        assert mapping  # something changed
+        # the prompt's formula token was renamed consistently
+        for old, new in mapping.items():
+            assert new in item["text"]
+    # targets outside {composition, prompt, invariants} still disable
+    ds2 = FakeDataset()
+    ds2.text_targets = ["prompt", "band_gap"]
+    assert not AugmentedView(ds2, 1.0, seed=0).enabled
 
 
 def test_multi_target_text_keeps_invariant_columns():
@@ -171,3 +186,37 @@ def test_datamodule_threads_augmentation(tmp_path):
     natoms = np.asarray(batch.natoms)
     for b, text in enumerate(texts):
         assert text == composition_text(types[b][: natoms[b]])
+
+
+def test_prompt_rewrite_and_enabled():
+    """Substitution augmentation applies to the free-form prompt column by
+    renaming formula tokens (1:1 symbol rename)."""
+    import numpy as np
+    from chemeleon_tpu.data.augment import (AugmentedView,
+                                            rewrite_formula_tokens,
+                                            symbol_mapping)
+
+    assert rewrite_formula_tokens(
+        "Tetragonal crystal structure of CaO10 compound",
+        {"Ca": "Sr", "O": "S"}) == \
+        "Tetragonal crystal structure of SrS10 compound"
+    # parenthesized formulas and plain words survive
+    assert rewrite_formula_tokens(
+        "lattice of Er5(Ge5Ir2)2 compound", {"Er": "Ho"}) == \
+        "lattice of Ho5(Ge5Ir2)2 compound"
+    # "In" alone (English word == element symbol) is not rewritten
+    assert rewrite_formula_tokens("In cubic form", {"In": "Tl"}) == \
+        "In cubic form"
+    m = symbol_mapping(np.array([20, 8, 8]), np.array([38, 8, 8]))
+    assert m == {"Ca": "Sr"}
+
+    class _DS:
+        text_targets = ["prompt"]
+        rows = [{"prompt": "Cubic NaCl structure"}]
+
+        def __len__(self):
+            return 1
+
+    assert AugmentedView(_DS(), 0.5).enabled
+    _DS.text_targets = ["prompt", "band_gap"]
+    assert not AugmentedView(_DS(), 0.5).enabled

@@ -175,3 +175,29 @@ def test_checkpoint_roundtrip_restores_tower(comp_model, tmp_path):
         comp_model.params["text"]["tower"], ["TiO2"])
     e2 = m2.text_encoder.tower.encode(m2.params["text"]["tower"], ["TiO2"])
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-7)
+
+
+def test_prompt_featurization():
+    """Free-form mp-40 prompts: embedded formula + system word + BoW
+    residual are all captured (prompt-mode conditioning, round 4)."""
+    import numpy as np
+    from chemeleon_tpu.text.composition import featurize_text
+
+    f = featurize_text("Tetragonal crystal structure of CaO10 compound")
+    assert f[112] == 1.0                     # composition parsed
+    assert abs(f[19] - 1 / 11) < 1e-6        # Ca (Z=20) fraction
+    assert abs(f[7] - 10 / 11) < 1e-6        # O (Z=8) fraction
+    assert f[105 + 3] == 1.0                 # tetragonal one-hot
+    assert np.count_nonzero(f[113:]) > 0     # BoW residual live
+    # same formula in different prose differs only in the BoW block
+    g = featurize_text("Tetragonal CaO10 crystal structure showing its "
+                       "unique symmetry")
+    np.testing.assert_allclose(f[:113], g[:113])
+    assert np.any(f[113:] != g[113:])
+
+
+def test_prompt_bow_distinguishes_free_text():
+    from chemeleon_tpu.text.composition import featurize_text
+    a = featurize_text("a metallic alloy with high conductivity")
+    b = featurize_text("an insulating oxide with wide band gap")
+    assert (a != b).any()

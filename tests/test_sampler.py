@@ -349,3 +349,24 @@ def test_warmup_precompiles_grid(model):
     crystals = model.sample_batch([8, 8], ["a", "b"],
                                   key=jax.random.PRNGKey(0))
     assert len(crystals) == 2
+
+
+def test_fixed_lattice_mode(model):
+    """fixed_lattice clamps the cell exactly (canonicalized) while coords
+    and types still diffuse; mutually exclusive with lattice_system."""
+    from chemeleon_tpu.chem.lattice import canonicalize_lattice
+
+    m = model
+    cell = np.array([[4.0, 0.3, 0.1], [0.2, 5.0, 0.0], [0.0, 0.1, 6.0]])
+    crystals = m.sample_batch([4, 6], ["a", "b"], fixed_lattice=cell,
+                              key=jax.random.PRNGKey(0))
+    want = canonicalize_lattice(cell)
+    for c in crystals:
+        np.testing.assert_allclose(c.lattice, want, atol=1e-5)
+        assert np.all(c.frac_coords >= 0) and np.all(c.frac_coords < 1)
+    # per-structure list + exclusivity guard
+    with pytest.raises(ValueError):
+        m.sample_batch([4], ["a"], fixed_lattice=cell,
+                       lattice_system="cubic")
+    with pytest.raises(ValueError):
+        m.sample_batch([4, 4], ["a", "b"], fixed_lattice=[cell])
