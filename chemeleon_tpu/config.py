@@ -171,10 +171,17 @@ class ChemeleonConfig:
     # element with this probability (cell rescaled by covalent-volume
     # ratio, prompt composition rewritten to match). Attacks the 596-row
     # composition-generalization wall (BENCH.md round 3: held-out
-    # composition_matching 0.0); new draw every epoch. 0 = off. Only
-    # applies when all text_targets are composition/symmetry columns —
-    # free-form prompt columns cannot be rewritten and disable it.
+    # composition_matching 0.0); new draw every epoch. 0 = off. Applies when
+    # all text_targets are composition/symmetry columns or the free-form
+    # prompt (whose formula tokens are rewritten under the substitution).
     aug_substitution_prob: float = 0.0
+    # Augmentation round 2 (data/augment.py): deterministic 2x-supercell
+    # expansion of every row that fits the atom cap (same structure trained
+    # at Z and 2Z; static natoms, so bucket plans stay compile-stable) ...
+    aug_supercell: bool = False
+    # ... and per-epoch lattice-strain jitter (relative amplitude of a
+    # random symmetric strain; cells re-canonicalized). 0 = off.
+    aug_lattice_noise: float = 0.0
     # Hang watchdog (utils/watchdog.py): abort the process with exit code 17
     # if no training step completes for this many seconds (a wedged TPU
     # tunnel blocks forever inside a device call — process exit is the only

@@ -151,6 +151,92 @@ def lattice_scale(old_types: np.ndarray, new_types: np.ndarray) -> float:
     return float(vol(new_types) / max(vol(old_types), 1e-9)) ** (1.0 / 3.0)
 
 
+class SupercellView:
+    """Deterministic Z-factor expansion (augmentation round 2).
+
+    Every row whose doubled cell still fits ``max_atoms`` ALSO appears as a
+    2x supercell along its shortest axis — the same structure trained at
+    Z and 2Z (reference data has natural Z variety from the full MP corpus;
+    this is the 596-row substitute). The expansion is FIXED (not per-epoch):
+    natoms must be static so the bucketed batch plan stays compile-stable
+    on TPU. Reduced-composition text targets are invariant under a
+    supercell, so all text passes through unchanged.
+    """
+
+    def __init__(self, dataset, max_atoms: int = 40):
+        self.dataset = dataset
+        self.text_targets = getattr(dataset, "text_targets", None)
+        base_n = np.asarray(dataset.natoms())
+        self.index = [(i, False) for i in range(len(dataset))]
+        self.index += [(i, True) for i in range(len(dataset))
+                       if 2 * int(base_n[i]) <= max_atoms]
+        if hasattr(dataset, "rows"):
+            self.rows = [dataset.rows[i] for i, _ in self.index]
+        self._natoms = np.asarray(
+            [int(base_n[i]) * (2 if s else 1) for i, s in self.index])
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def natoms(self) -> np.ndarray:
+        return self._natoms
+
+    def __getitem__(self, idx: int) -> Dict:
+        i, sup = self.index[idx]
+        item = dict(self.dataset[i])
+        if not sup:
+            return item
+        lat = np.asarray(item["lattice"], dtype=np.float32)
+        axis = int(np.argmin(np.linalg.norm(lat, axis=1)))
+        new_lat = lat.copy()
+        new_lat[axis] *= 2.0
+        frac = np.asarray(item["frac_coords"], dtype=np.float32)
+        f1 = frac.copy()
+        f1[:, axis] *= 0.5
+        f2 = f1.copy()
+        f2[:, axis] += 0.5
+        item["lattice"] = new_lat
+        item["frac_coords"] = np.concatenate([f1, f2], axis=0)
+        item["atom_types"] = np.concatenate(
+            [item["atom_types"], item["atom_types"]], axis=0)
+        return item
+
+
+class LatticeNoiseView:
+    """Per-epoch lattice-strain jitter (augmentation round 2).
+
+    Applies a small random symmetric strain to the cell (atoms co-move
+    affinely: frac coords unchanged) and re-canonicalizes to the training
+    frame's zero pattern. Teaches the lattice denoiser the neighborhood of
+    each relaxed cell instead of a single point — the 596-row substitute
+    for MP's natural near-duplicate spread.
+    """
+
+    def __init__(self, dataset, amplitude: float, seed: int = 0):
+        self.dataset = dataset
+        self.amplitude = float(amplitude)
+        self.seed = int(seed)
+        self.text_targets = getattr(dataset, "text_targets", None)
+        if hasattr(dataset, "rows"):
+            self.rows = dataset.rows
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def natoms(self) -> np.ndarray:
+        return self.dataset.natoms()
+
+    def __getitem__(self, idx: int) -> Dict:
+        from chemeleon_tpu.chem.lattice import canonicalize_lattice
+        item = dict(self.dataset[idx])
+        rng = np.random.default_rng((self.seed, idx, 7))
+        e = rng.normal(0.0, self.amplitude / np.sqrt(2.0), (3, 3))
+        strain = np.eye(3) + (e + e.T) / 2.0
+        lat = np.asarray(item["lattice"], dtype=np.float64) @ strain
+        item["lattice"] = canonicalize_lattice(lat).astype(np.float32)
+        return item
+
+
 class AugmentedView:
     """Dataset wrapper applying substitution augmentation on access.
 

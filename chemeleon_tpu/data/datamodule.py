@@ -122,11 +122,19 @@ class DataModule:
 
     def train_dataloader(self, epoch: int = 0):
         ds = self.train_dataset
+        if self.cfg.aug_supercell:
+            from chemeleon_tpu.data.augment import SupercellView
+            # deterministic expansion (fixed across epochs: static shapes)
+            ds = SupercellView(ds, max_atoms=max(self.cfg.pad_buckets))
         if self.cfg.aug_substitution_prob > 0:
             from chemeleon_tpu.data.augment import AugmentedView
             # reseeded per epoch: every epoch sees a fresh substitution draw
             ds = AugmentedView(ds, self.cfg.aug_substitution_prob,
                                seed=self.cfg.seed + epoch)
+        if self.cfg.aug_lattice_noise > 0:
+            from chemeleon_tpu.data.augment import LatticeNoiseView
+            ds = LatticeNoiseView(ds, self.cfg.aug_lattice_noise,
+                                  seed=self.cfg.seed + epoch)
         return prefetch(bucketed_batches(
             ds, self.cfg.batch_size, self.cfg.pad_buckets,
             shuffle=True, seed=self.cfg.seed + epoch, drop_last=True))

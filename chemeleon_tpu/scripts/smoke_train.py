@@ -68,6 +68,12 @@ def main() -> None:
     ap.add_argument("--aug-sub", type=float, default=0.0,
                     help="isovalent element-substitution augmentation "
                          "probability per species (data/augment.py)")
+    ap.add_argument("--aug-supercell", action="store_true",
+                    help="deterministic 2x-supercell (Z-factor) expansion "
+                         "of rows that fit the atom cap")
+    ap.add_argument("--aug-lat", type=float, default=0.0,
+                    help="per-epoch lattice-strain jitter amplitude "
+                         "(relative; 0 = off)")
     ap.add_argument("--ema-decay", type=float, default=0.0,
                     help="> 0 maintains EMA params (saved as params_ema in "
                          "every checkpoint; val/loss_ema logged)")
@@ -92,7 +98,8 @@ def main() -> None:
         lr=args.lr, scheduler=args.scheduler, early_stopping=10 ** 6,
         checkpoint_every_n_epochs=args.ckpt_every, max_epochs=args.epochs,
         ema_decay=args.ema_decay, watchdog_timeout_s=args.watchdog,
-        aug_substitution_prob=args.aug_sub)
+        aug_substitution_prob=args.aug_sub, aug_supercell=args.aug_supercell,
+        aug_lattice_noise=args.aug_lat)
     trainer = Trainer(cfg, text_backend=args.text_backend)
     result = trainer.fit(resume_from=args.resume_from)
     losses = [h["val/loss"] for h in result["history"]]

@@ -220,3 +220,68 @@ def test_prompt_rewrite_and_enabled():
     assert AugmentedView(_DS(), 0.5).enabled
     _DS.text_targets = ["prompt", "band_gap"]
     assert not AugmentedView(_DS(), 0.5).enabled
+
+
+def test_supercell_view():
+    """Z-expansion doubles fitting rows along the shortest axis; reduced
+    composition, bucketability (static natoms) and geometry are preserved."""
+    from chemeleon_tpu.data.augment import SupercellView
+
+    ds = FakeDataset()
+    view = SupercellView(ds, max_atoms=8)
+    # 6-atom TiO2 does NOT fit 2x under cap 8; 2-atom NaCl does
+    assert len(view) == 3
+    assert list(view.natoms()) == [6, 2, 4]
+    item = view[2]
+    np.testing.assert_array_equal(item["atom_types"], [11, 17, 11, 17])
+    base = ds[1]
+    # doubled axis: lattice volume doubles, min-image geometry preserved
+    assert abs(np.linalg.det(item["lattice"])
+               - 2 * np.linalg.det(base["lattice"])) < 1e-4
+    from chemeleon_tpu.chem.structure import Crystal
+    sup = Crystal(item["lattice"], item["frac_coords"], item["atom_types"])
+    orig = Crystal(base["lattice"], base["frac_coords"], base["atom_types"])
+    from chemeleon_tpu.chem.matcher import StructureMatcher
+    assert StructureMatcher().fit(orig, sup)
+
+
+def test_lattice_noise_view():
+    from chemeleon_tpu.data.augment import LatticeNoiseView
+    from chemeleon_tpu.models.chemeleon import MASK_LATTICE_MATRIX
+
+    ds = FakeDataset()
+    view = LatticeNoiseView(ds, amplitude=0.03, seed=1)
+    assert len(view) == len(ds)
+    item = view[0]
+    base = ds[0]
+    rel = np.abs(np.linalg.norm(item["lattice"], axis=1)
+                 / np.linalg.norm(base["lattice"], axis=1) - 1.0)
+    assert rel.max() < 0.15 and rel.max() > 0.0   # jittered, but small
+    # canonical zero pattern preserved (training frame)
+    mask = np.asarray(MASK_LATTICE_MATRIX)
+    assert np.allclose(item["lattice"][mask == 0], 0.0, atol=1e-6)
+    # frac coords co-move (unchanged)
+    np.testing.assert_array_equal(item["frac_coords"], base["frac_coords"])
+    # per-seed determinism
+    again = LatticeNoiseView(ds, amplitude=0.03, seed=1)[0]
+    np.testing.assert_array_equal(item["lattice"], again["lattice"])
+
+
+def test_stacked_views_for_prompt_training():
+    """SupercellView -> AugmentedView -> LatticeNoiseView composes (the
+    round-4 prompt-flagship training stack)."""
+    from chemeleon_tpu.data.augment import (AugmentedView, LatticeNoiseView,
+                                            SupercellView)
+
+    ds = FakeDataset()
+    ds.text_targets = ["prompt"]
+    ds.rows = [{"prompt": "Cubic structure of O2Ti compound"},
+               {"prompt": "Rock salt Cl1Na1 arrangement"}]
+    view = LatticeNoiseView(
+        AugmentedView(SupercellView(ds, max_atoms=8), 1.0, seed=3),
+        amplitude=0.02, seed=3)
+    assert len(view) == 3
+    for i in range(len(view)):
+        item = view[i]
+        assert item["atom_types"].shape[0] == view.natoms()[i]
+        assert isinstance(item["text"], str) and item["text"]
