@@ -68,6 +68,7 @@ class SamplingSession:
             self.steps = []      # [(t, [crystal dicts])] newest last
             self.done = False
             self.error = None
+            self.total_chunks = 0  # expected stream length (set by worker)
 
     @property
     def running(self):
@@ -91,6 +92,8 @@ class SamplingSession:
         try:
             total = model.cfg.timesteps
             chunk = 100 if total % 100 == 0 else 1
+            with self._lock:
+                self.total_chunks = total // chunk
             t = total
             for crystals in model.sample(text, n_atoms, n_samples,
                                          stream=True, stream_chunk=chunk):
@@ -105,10 +108,19 @@ class SamplingSession:
                 self.done = True
 
     def poll(self) -> Dict:
-        """Snapshot: {n_steps, done, error, progress in [0,1]}."""
+        """Snapshot: {n_steps, done, error, progress in [0,1]} — progress
+        mirrors the reference's queue messages carrying
+        ``int(step / timesteps * 100)`` (dash_app.py:344-354)."""
         with self._lock:
-            return {"n_steps": len(self.steps), "done": self.done,
-                    "error": self.error}
+            n = len(self.steps)
+            if self.done:
+                prog = 1.0
+            elif self.total_chunks:
+                prog = min(1.0, n / self.total_chunks)
+            else:
+                prog = 0.0
+            return {"n_steps": n, "done": self.done, "error": self.error,
+                    "progress": prog, "total_chunks": self.total_chunks}
 
     def crystal(self, sample_idx: int, step_idx: int = -1):
         """Selected sample at a recorded step (-1 = latest); None before the
@@ -126,3 +138,32 @@ class SamplingSession:
         if c is None:
             raise RuntimeError("no structures generated yet")
         return c.to_cif()
+
+
+def player_tick(step_idx, n_steps: int, playing: bool,
+                live: bool) -> "tuple[int, bool]":
+    """Advance the trajectory player by one UI tick (dash-free so the
+    Play/Pause replay logic is testable headless; the reference's replay is
+    plotly's built-in animate buttons, visualize.py:154-208 — a static Dash
+    Img needs an explicit frame clock).
+
+    ``step_idx``: current slider position (None before any frame).
+    ``n_steps``: frames recorded so far. ``playing``: Play toggled on.
+    ``live``: sampling still streaming — follow the newest frame.
+    Returns (next_idx, still_playing): playback advances one frame per tick
+    and auto-pauses at the final frame; live mode pins to the tail.
+    """
+    if n_steps <= 0:
+        return 0, False
+    last = n_steps - 1
+    if live:
+        # follow the stream unless the user scrubbed backwards
+        if step_idx is None or step_idx >= last - 1:
+            return last, playing
+        return min(int(step_idx), last), playing
+    if not playing:
+        return min(int(step_idx or 0), last), False
+    nxt = 0 if step_idx is None else int(step_idx) + 1
+    if nxt >= last:
+        return last, False  # reached the end: auto-pause
+    return nxt, True

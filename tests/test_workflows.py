@@ -325,6 +325,70 @@ def test_server_generate_lattice_system(model):
         server.shutdown()
 
 
+def test_server_generate_fixed_comp_csp(model):
+    """Server-side CSP (wire field fixed_comp — closes the streamlit
+    CSP-over-server gap): a CSP and a free request coalesce into ONE
+    device batch; the CSP request's samples carry exactly the requested
+    composition (n_atoms derived from fixed_z formula units server-side),
+    the free request's rows still type-diffuse."""
+    from concurrent.futures import ThreadPoolExecutor
+    from chemeleon_tpu.serve.client import generate
+    from chemeleon_tpu.serve.server import ChemeleonServer
+
+    port = _free_port()
+    server = ChemeleonServer(model=model, host="127.0.0.1", port=port,
+                             batch_window_s=1.0, max_batch=64)
+    server.run(background=True)
+    try:
+        url = f"http://127.0.0.1:{port}"
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            csp = ex.submit(generate, url, "TiO2", 4, 2, 600.0,
+                            None, 1.0, None, "TiO2", 2)
+            free = ex.submit(generate, url, "XyzFree", 6, 2, 600.0)
+            c, f = csp.result(), free.result()
+        for x in c:
+            assert len(x) == 6  # 2 formula units of TiO2
+            assert sorted(x.atom_types.tolist()) == [8, 8, 8, 8, 22, 22]
+        assert len(f) == 2 and all(len(x) == 6 for x in f)
+        assert server.batch_calls == 1, server.batch_calls
+    finally:
+        server.shutdown()
+
+
+def test_server_rejects_bad_fixed_comp(model):
+    """fixed_comp validation 400s at decode time: a conflicting explicit
+    n_atoms, a fixed_z overflowing the pad buckets, and combining with
+    comp_prior must all fail the request, not the coalesced batch."""
+    import json
+    from urllib.error import HTTPError
+    from urllib.request import Request, urlopen
+    from chemeleon_tpu.serve.server import ChemeleonServer
+
+    port = _free_port()
+    server = ChemeleonServer(model=model, host="127.0.0.1", port=port,
+                             batch_window_s=0.05, max_batch=64)
+    server.run(background=True)
+    try:
+        url = f"http://127.0.0.1:{port}/generate"
+
+        def post(body):
+            req = Request(url, data=json.dumps(body).encode(),
+                          headers={"Content-Type": "application/json"})
+            with urlopen(req, timeout=60) as r:
+                return json.loads(r.read())
+
+        for body in (
+                {"fixed_comp": "TiO2", "n_atoms": 4, "n_samples": 1},
+                {"fixed_comp": "TiO2", "fixed_z": 1000, "n_samples": 1},
+                {"fixed_comp": "TiO2", "comp_prior": "TiO2",
+                 "n_samples": 1}):
+            with pytest.raises(HTTPError) as ei:
+                post(body)
+            assert ei.value.code == 400
+    finally:
+        server.shutdown()
+
+
 def test_server_rejects_bad_lattice_system(model):
     """An unknown crystal-system word 400s at decode time instead of
     poisoning the coalesced device batch."""
@@ -683,7 +747,8 @@ def test_sampling_session_viewmodel(model):
     from app.utils import SamplingSession, crystal_to_png_b64
 
     s = SamplingSession()
-    assert s.poll() == {"n_steps": 0, "done": False, "error": None}
+    assert s.poll() == {"n_steps": 0, "done": False, "error": None,
+                        "progress": 0.0, "total_chunks": 0}
     assert s.crystal(0) is None
     assert s.start(model, "TiO2", 4, 2)
     deadline = _time.time() + 300
@@ -692,6 +757,7 @@ def test_sampling_session_viewmodel(model):
     state = s.poll()
     assert state["done"] and state["error"] is None
     assert state["n_steps"] == 20 // 5 or state["n_steps"] == 20
+    assert state["progress"] == 1.0  # done pins the bar to 100%
     c = s.crystal(1, -1)
     assert c is not None and len(c) == 4
     assert s.crystal(5, -1) is None  # out-of-range sample
@@ -726,6 +792,34 @@ def test_sampling_session_error_surfaces():
     while not s.poll()["done"] and _time.time() < deadline:
         _time.sleep(0.05)
     assert "model fell over" in s.poll()["error"]
+
+
+def test_player_tick_replay_logic():
+    """Play/Pause trajectory replay (app/utils.player_tick — the dash-free
+    frame clock behind the Dash app's Play button; the reference gets the
+    equivalent from plotly animate buttons, visualize.py:154-208)."""
+    from pathlib import Path
+    import sys
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from app.utils import player_tick
+
+    # no frames yet: parked at 0, not playing
+    assert player_tick(None, 0, True, True) == (0, False)
+    # live streaming follows the newest frame...
+    assert player_tick(None, 5, False, True) == (4, False)
+    assert player_tick(4, 6, False, True) == (5, False)
+    # ...unless the user scrubbed backwards
+    assert player_tick(1, 6, False, True) == (1, False)
+    # paused replay holds position (and clamps to the recorded range)
+    assert player_tick(3, 10, False, False) == (3, False)
+    assert player_tick(99, 10, False, False) == (9, False)
+    # playing advances one frame per tick and auto-pauses at the end
+    assert player_tick(0, 4, True, False) == (1, True)
+    assert player_tick(1, 4, True, False) == (2, True)
+    assert player_tick(2, 4, True, False) == (3, False)
+    # restarting play from the end stays parked (caller resets to 0 via
+    # the slider); from None it starts at frame 0
+    assert player_tick(None, 4, True, False) == (0, True)
 
 
 def test_dash_app_import_guarded():
