@@ -213,14 +213,19 @@ def radius_graph_pbc(frac_coords: jnp.ndarray, lattices: jnp.ndarray,
     dist_flat = jnp.where(valid, dist, big).reshape(B, N, N * C)
 
     # per-atom directed K-nearest cap (reference get_max_neighbors_mask,
-    # data_utils.py:319-398); flat index layout over (j, c), c fastest
+    # data_utils.py:319-398); flat index layout over (j, c), c fastest.
+    # Selection masks are built by THRESHOLD COMPARE against the K-th
+    # distance instead of scattering top-k indices back into a [B,N,N*C]
+    # bool — TPU scatters serialize on the VPU while a broadcast-compare
+    # fuses into the distance computation (the round-3 knn path spent its
+    # gap on two such scatters). Tie semantics: atoms whose K-th neighbor
+    # distance is degenerate (symmetric cells) select the whole tie class;
+    # the 2K-slot cap below still bounds the edge count and the kept-edge
+    # re-symmetrization keeps the invariant exact.
     K = max_neighbors
-    neg_top, idx = jax.lax.top_k(-dist_flat, K)                 # [B, N, K]
-    in_range = -neg_top < big / 2
-    bi = jnp.arange(B)[:, None, None]
-    ni = jnp.arange(N)[None, :, None]
-    selected = jnp.zeros((B, N, N * C), bool).at[bi, ni, idx].set(in_range)
-    selected = selected.reshape(B, N, N, C)
+    neg_top, _ = jax.lax.top_k(-dist_flat, K)                   # [B, N, K]
+    kth = -neg_top[..., -1]                                     # [B, N]
+    selected = valid & (dist <= kth[:, :, None, None])
     # symmetrize: the mirror of edge (i->j, offset o) is (j->i, -o), i.e.
     # image index C-1-c under the lexicographic enumeration
     selected = selected | selected.transpose(0, 2, 1, 3)[..., ::-1]
@@ -235,9 +240,22 @@ def radius_graph_pbc(frac_coords: jnp.ndarray, lattices: jnp.ndarray,
     # and the top-k above drops its farthest mirrors, which would leave
     # one-directional edges. Re-symmetrize by KEPT edges: an edge survives
     # only if both directions fit (both dropped otherwise), preserving the
-    # invariant exactly at the cost of a few longest hub edges.
-    kept = jnp.zeros((B, N, N * C), bool).at[bi, ni, idx2].set(nbr_mask)
-    kept = kept.reshape(B, N, N, C)
+    # invariant exactly at the cost of a few longest hub edges. "Kept"
+    # (= landed in the 2K slots) is again scatter-free: strictly closer
+    # than the boundary distance always lands; AT the boundary distance,
+    # top_k's stable tie-break (lower flat index first) means exactly the
+    # entries up to the largest slotted tie index landed.
+    kth2 = -neg_top2[..., -1]                                   # [B, N]
+    at_boundary = (-neg_top2) == kth2[..., None]                # [B, N, 2K]
+    boundary_idx = jnp.max(
+        jnp.where(at_boundary & nbr_mask, idx2, -1), axis=-1)   # [B, N]
+    flat_idx = (jnp.arange(N)[:, None] * C
+                + jnp.arange(C)[None, :])                       # [N, C]
+    kth2_b = kth2[:, :, None, None]
+    kept = selected & (
+        (dist < kth2_b)
+        | ((dist == kth2_b)
+           & (flat_idx[None, None] <= boundary_idx[:, :, None, None])))
     kept = kept & kept.transpose(0, 2, 1, 3)[..., ::-1]
     nbr_mask = nbr_mask & jnp.take_along_axis(
         kept.reshape(B, N, N * C), idx2, axis=2)

@@ -168,3 +168,34 @@ def test_radius_graph_pbc_hub_overflow_stays_symmetric():
     missing = [(i, j, c) for (i, j, c) in edges
                if (j, i, C - 1 - c) not in edges]
     assert not missing, missing
+
+
+def test_radius_graph_pbc_degenerate_ties_stay_symmetric():
+    """Exact distance ties spanning the K and 2K boundaries (symmetric
+    crystals hit this constantly): the scatter-free threshold selection
+    expands the tie class past K, and the stable-tie-break boundary-index
+    rule must still never leave a one-directional edge."""
+    # 2x2x2 simple-cubic grid in a cubic cell: every atom has 6 axis
+    # neighbors at EXACTLY a/2, all distances degenerate
+    grid = np.stack(np.meshgrid(*([np.array([0.25, 0.75])] * 3),
+                                indexing="ij"), -1).reshape(-1, 3)
+    lat = jnp.eye(3)[None] * 4.0
+    mask = jnp.ones((1, 8), bool)
+    for K in (2, 3, 6):
+        nbr_j, nbr_img, nbr_mask, _ = radius_graph_pbc(
+            jnp.asarray(grid[None], jnp.float32), lat, mask,
+            cutoff=2.5, max_neighbors=K)
+        C = 27
+        edges = set()
+        valid = np.asarray(nbr_mask)
+        js, imgs = np.asarray(nbr_j), np.asarray(nbr_img)
+        for i in range(8):
+            for k in range(valid.shape[-1]):
+                if valid[0, i, k]:
+                    edges.add((i, int(js[0, i, k]), int(imgs[0, i, k])))
+        assert edges, f"no edges at K={K}"
+        missing = [(i, j, c) for (i, j, c) in edges
+                   if (j, i, C - 1 - c) not in edges]
+        assert not missing, (K, missing)
+        # per-atom slot budget is respected
+        assert valid.sum(-1).max() <= 2 * K

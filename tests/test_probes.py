@@ -95,3 +95,15 @@ def test_probe_csp_fewstep_smoke(comp_model, monkeypatch):
     comp, = [k for k in out if not k.startswith("_")]
     assert out[comp]["exact_composition"] == 1.0  # CSP clamp guarantees it
     assert out["_mean"]["valid_relaxed"] >= out["_mean"]["valid_raw"]
+
+
+def test_probe_knn_smoke():
+    """probe_knn (the fc-vs-knn edge-path timing probe) control flow at
+    tiny dims: both edge styles sample successfully and report a rate."""
+    from chemeleon_tpu.scripts.probe_knn import time_sampler
+
+    for style in ("fc", "knn"):
+        sps = time_sampler(style, 8, 2, timesteps=4, max_neighbors=4,
+                           hidden_dim=32, num_layers=1, num_freqs=8,
+                           time_dim=16, text_dim=32, text_embed_dim=32)
+        assert sps > 0
