@@ -114,29 +114,28 @@ def main():
 
     progress = st.progress(0.0)
     with st.spinner("Sampling..."):
-        if SERVER_URL and (lattice_sys or
-                           (comp and comp_mode == "prior (bias types)")):
-            # /generate carries per-request priors and lattice clamps
-            # (non-streaming: one final snapshot, no per-step progress)
-            if comp and comp_mode == "CSP (clamp types)":
-                # the /generate wire protocol has no fixed_types field, so
-                # the composition clamp would be silently dropped here
-                st.warning("CSP type clamping is local-only; the remote "
-                           "/generate call honors the lattice clamp but "
-                           "ignores the CSP composition clamp.")
+        if SERVER_URL and (lattice_sys or (comp and comp_mode != "off")):
+            # /generate carries per-request priors, lattice clamps, AND the
+            # CSP composition clamp (wire field fixed_comp — round-4
+            # mixed-row sampler; non-streaming: one final snapshot)
             from chemeleon_tpu.serve.client import generate
             prior = comp if comp and comp_mode == "prior (bias types)" \
                 else None
+            csp = comp if comp and comp_mode == "CSP (clamp types)" \
+                else None
+            fixed_z = 1
+            if csp:
+                # same Z rule as the local path: fill up to the n_atoms box
+                from chemeleon_tpu.chem.composition import \
+                    composition_to_types
+                fixed_z = max(1, n_atoms // len(composition_to_types(csp)))
             snapshots = [generate(SERVER_URL, text, n_atoms, n_samples,
                                   comp_prior=prior,
                                   comp_prior_scale=comp_scale,
-                                  lattice_system=lattice_sys)]
+                                  lattice_system=lattice_sys,
+                                  fixed_comp=csp, fixed_z=fixed_z)]
             progress.progress(1.0)
         elif SERVER_URL:
-            # the streaming wire protocol carries no composition knobs
-            if comp and comp_mode != "off":
-                st.warning("CSP mode is local-only; streaming remote "
-                           "generation ignores the composition box.")
             snapshots = generate_remote(text, n_atoms, n_samples, progress)
         else:
             snapshots = generate_local(text, n_atoms, n_samples, progress,

@@ -6,7 +6,7 @@ from __future__ import annotations
 import re
 from functools import reduce
 from math import gcd
-from typing import Dict, Tuple
+from typing import Dict, List, Tuple
 
 from chemeleon_tpu.chem.elements import Z_BY_SYMBOL
 
@@ -101,3 +101,18 @@ def composition_log_prior(formulas, num_classes: int, eps: float = 1e-9):
 
 def formula_from_counts(comp: Dict[str, int]) -> str:
     return "".join(f"{el}{n if n > 1 else ''}" for el, n in sorted(comp.items()))
+
+
+def composition_to_types(formula: str, z: int = 1) -> List[int]:
+    """Atomic-number sequence for ``z`` formula units of the REDUCED
+    composition — the exact expansion ``Chemeleon.sample_csp`` clamps to
+    (models/chemeleon.py), shared with the serving wire protocol's
+    ``fixed_comp`` field so server-side CSP matches local CSP type-for-type.
+    """
+    from chemeleon_tpu.chem.elements import z_of
+
+    red = reduced_composition(parse_composition(formula))
+    types: List[int] = []
+    for el, cnt in sorted(red.items()):
+        types += [z_of(el)] * int(round(cnt)) * int(z)
+    return types

@@ -272,20 +272,26 @@ def sampler_step(decoder_params: Any, decoder: CSPNet, sched: Schedulers,
         decoder_params, decoder, time_emb, a_t, x_t, l_t, mask, cond_scale,
         text_embeds, null_text_embeds)
 
-    if fixed_types is None:
-        # atom types: D3PM ancestral step (chemeleon.py:399-411)
-        if type_prior is not None:
-            pred_a = pred_a + type_prior[:, None, :]
-        rand_a = jax.random.uniform(k_a, (B, N, C))
-        t_bn = jnp.full((B, N), t, jnp.int32)
-        if s is None:
-            a_next = sched.d3pm.p_logits(pred_a, a_t, t_bn, rand_a)
-        else:
-            s_bn = jnp.full((B, N), s, jnp.int32)
-            a_next = sched.d3pm.p_logits_jump(pred_a, a_t, t_bn, s_bn, rand_a)
-        a_next = jnp.where(mask, a_next, 0)
+    # atom types: D3PM ancestral step (chemeleon.py:399-411)
+    if type_prior is not None:
+        pred_a = pred_a + type_prior[:, None, :]
+    rand_a = jax.random.uniform(k_a, (B, N, C))
+    t_bn = jnp.full((B, N), t, jnp.int32)
+    if s is None:
+        a_next = sched.d3pm.p_logits(pred_a, a_t, t_bn, rand_a)
     else:
-        a_next = jnp.where(mask, fixed_types, 0)
+        s_bn = jnp.full((B, N), s, jnp.int32)
+        a_next = sched.d3pm.p_logits_jump(pred_a, a_t, t_bn, s_bn, rand_a)
+    a_next = jnp.where(mask, a_next, 0)
+    if fixed_types is not None:
+        # CSP rows clamp to their known types; -1 sentinel rows (mixed
+        # batches, e.g. a /generate window coalescing CSP and free
+        # requests) keep the diffused update. The extra D3PM step on
+        # all-CSP batches is noise-free w.r.t. the other chains (separate
+        # split keys) and negligible vs the network forward.
+        csp_row = jnp.any(fixed_types > 0, axis=-1)
+        a_next = jnp.where(csp_row[:, None] & mask,
+                           jnp.maximum(fixed_types, 0), a_next)
 
     rand_l = jax.random.normal(k_l, (B, 3, 3)) * not_last * lmask
     if s is None:
@@ -352,14 +358,21 @@ def init_sampler_state(key: jax.Array, natoms: jnp.ndarray,
                        ) -> Tuple[SamplerState, jnp.ndarray]:
     """Pure-noise init (chemeleon.py:346-349): a_T all-dummy, l_T masked
     N(0,1), x_T N(0,1) wrapped. In CSP mode (``fixed_types``) a_T starts at
-    the known types instead of the absorbing state. ``lattice_sys`` projects
-    l_T onto the prompted lattice-system manifold so even the FIRST decoder
-    call sees an in-class cell (see sampler_step)."""
+    the known types instead of the absorbing state; rows whose fixed_types
+    are the -1 free-row sentinel (mixed batches — serve/server.py
+    ``fixed_comp``) start at the absorbing state like a plain batch.
+    ``lattice_sys`` projects l_T onto the prompted lattice-system manifold
+    so even the FIRST decoder call sees an in-class cell (see
+    sampler_step)."""
     B = natoms.shape[0]
     k_l, k_x = jax.random.split(key)
     lmask = jnp.asarray(MASK_LATTICE_MATRIX)
-    a_T = (jnp.zeros((B, n_max), jnp.int32) if fixed_types is None
-           else fixed_types.astype(jnp.int32))
+    if fixed_types is None:
+        a_T = jnp.zeros((B, n_max), jnp.int32)
+    else:
+        csp_row = jnp.any(fixed_types > 0, axis=-1)
+        a_T = jnp.where(csp_row[:, None],
+                        jnp.maximum(fixed_types, 0), 0).astype(jnp.int32)
     l_T = jax.random.normal(k_l, (B, 3, 3)) * lmask
     if lattice_sys is not None:
         from chemeleon_tpu.ops.lattice_proj import project_lattice_system
@@ -597,9 +610,15 @@ class Chemeleon:
 
     def _pad_fixed_types(self, fixed_types, natoms: List[int], N: int):
         """[B, N] int32 from per-structure atomic-number sequences; each must
-        have exactly natoms[i] entries (the padded tail is 0/dummy)."""
+        have exactly natoms[i] entries (the padded tail is 0/dummy). None
+        entries mark free rows (mixed CSP/free batches — the dynamic
+        batcher coalesces both kinds into one window): encoded as the -1
+        sentinel the sampler blends on (see sampler_step)."""
         arr = np.zeros((len(natoms), N), np.int32)
         for i, (types, n) in enumerate(zip(fixed_types, natoms)):
+            if types is None:
+                arr[i] = -1
+                continue
             types = np.asarray(types, np.int32)
             if types.shape != (n,):
                 raise ValueError(
@@ -620,13 +639,26 @@ class Chemeleon:
         cfg = self.cfg
         ftypes = None
         if fixed_types is not None:
-            if comp_prior is not None:
-                raise ValueError("comp_prior has no effect in CSP mode "
-                                 "(fixed_types): types do not diffuse")
             if len(fixed_types) != len(natoms):
                 raise ValueError("fixed_types and natoms must have the same "
                                  "number of elements.")
-            ftypes = self._pad_fixed_types(fixed_types, natoms, N)
+            if comp_prior is not None:
+                # mixed batches may carry CSP rows AND prior-guided free
+                # rows (None entries on the other list), but the SAME row
+                # cannot have both: types that do not diffuse cannot be
+                # steered
+                both = [i for i, (ft, cp) in enumerate(
+                    zip(fixed_types, comp_prior))
+                    if ft is not None and cp is not None]
+                if both:
+                    raise ValueError(
+                        f"rows {both} set both fixed_types and comp_prior; "
+                        "comp_prior has no effect in CSP mode (fixed_types):"
+                        " types do not diffuse")
+            if all(ft is None for ft in fixed_types):
+                fixed_types = None  # all-free degenerates to a plain batch
+            else:
+                ftypes = self._pad_fixed_types(fixed_types, natoms, N)
         type_prior = None
         if comp_prior is not None:
             if len(comp_prior) != len(natoms):
@@ -960,10 +992,8 @@ class Chemeleon:
 
         red = reduced_composition(parse_composition(composition))
         comp = reduced_formula_alphabetical(red)
-        from chemeleon_tpu.chem.elements import z_of
-        types = []
-        for el, cnt in sorted(red.items()):
-            types += [z_of(el)] * int(round(cnt)) * z
+        from chemeleon_tpu.chem.composition import composition_to_types
+        types = composition_to_types(composition, z)
         natoms = [len(types)] * n_samples
         texts = ([comp] * n_samples if self.cfg.text_guide else None)
         return self.sample_batch(natoms, texts, cond_scale, step_lr, key,

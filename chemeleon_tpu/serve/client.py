@@ -48,13 +48,18 @@ def predict(url: str, text_input: str, n_atoms: int, n_samples: int,
 def generate(url: str, text_input: str, n_atoms: int, n_samples: int,
              timeout: float = 600.0, comp_prior: str = None,
              comp_prior_scale: float = 1.0,
-             lattice_system: str = None) -> List[Crystal]:
+             lattice_system: str = None, fixed_comp: str = None,
+             fixed_z: int = 1) -> List[Crystal]:
     """POST /generate (non-streaming; server-side dynamic batching).
     ``comp_prior`` requests composition-prior guided sampling for this
     request only (requests with different priors/scales still coalesce).
     ``lattice_system`` clamps this request's cells to that crystal
     system's metric constraints (per-row ids: clamped and free requests
-    coalesce into the same device batch)."""
+    coalesce into the same device batch). ``fixed_comp`` (+ ``fixed_z``
+    formula units) requests server-side CSP — atom types clamped to the
+    composition, n_atoms derived server-side; CSP and free requests
+    coalesce into one device batch (mixed-row sampler support,
+    models/chemeleon.py sampler_step)."""
     payload = {"text_input": text_input, "n_atoms": n_atoms,
                "n_samples": n_samples}
     if comp_prior:
@@ -62,6 +67,10 @@ def generate(url: str, text_input: str, n_atoms: int, n_samples: int,
         payload["comp_prior_scale"] = comp_prior_scale
     if lattice_system:
         payload["lattice_system"] = lattice_system
+    if fixed_comp:
+        payload["fixed_comp"] = fixed_comp
+        payload["fixed_z"] = fixed_z
+        payload.pop("n_atoms", None)  # derived server-side from the formula
     body = json.dumps(payload).encode()
     req = Request(url.rstrip("/") + "/generate", data=body,
                   headers={"Content-Type": "application/json"})

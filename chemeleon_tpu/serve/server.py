@@ -46,13 +46,15 @@ class _PendingRequest:
     def __init__(self, n_samples: int, n_atoms: int, text: str,
                  comp_prior: Optional[str] = None,
                  comp_prior_scale: float = 0.0,
-                 lattice_system: Optional[str] = None):
+                 lattice_system: Optional[str] = None,
+                 fixed_types: Optional[list] = None):
         self.n_samples = n_samples
         self.n_atoms = n_atoms
         self.text = text
         self.comp_prior = comp_prior
         self.comp_prior_scale = comp_prior_scale
         self.lattice_system = lattice_system
+        self.fixed_types = fixed_types  # CSP clamp (wire field fixed_comp)
         self.event = threading.Event()
         self.result: Optional[List[Crystal]] = None
         self.error: Optional[str] = None
@@ -172,12 +174,14 @@ class ChemeleonServer:
                 continue
             total = sum(r.n_samples for r in batch)
             natoms, texts, priors, scales, lsys = [], [], [], [], []
+            ftypes = []
             for r in batch:
                 natoms.extend([r.n_atoms] * r.n_samples)
                 texts.extend([r.text] * r.n_samples)
                 priors.extend([r.comp_prior] * r.n_samples)
                 scales.extend([r.comp_prior_scale] * r.n_samples)
                 lsys.extend([r.lattice_system] * r.n_samples)
+                ftypes.extend([r.fixed_types] * r.n_samples)
             # pad to the shape ladder with dummy rows (discarded below)
             for _ in range(self._quantize_batch(total) - total):
                 natoms.append(batch[0].n_atoms)
@@ -185,6 +189,7 @@ class ChemeleonServer:
                 priors.append(None)
                 scales.append(0.0)
                 lsys.append(None)
+                ftypes.append(None)
             try:
                 with self._lock:
                     # per-row scales/ids: one coalesced batch can mix guided,
@@ -197,7 +202,10 @@ class ChemeleonServer:
                         comp_prior_scale=scales,
                         sample_steps=self.sample_steps or None,
                         lattice_system=(lsys if any(s is not None
-                                                    for s in lsys) else None))
+                                                    for s in lsys) else None),
+                        fixed_types=(ftypes if any(t is not None
+                                                   for t in ftypes)
+                                     else None))
                 self.batch_calls += 1
                 i = 0
                 for r in batch:
@@ -276,7 +284,8 @@ class ChemeleonServer:
                                   comp_prior=req.get("comp_prior"),
                                   comp_prior_scale=req.get(
                                       "comp_prior_scale", 0.0),
-                                  lattice_system=req.get("lattice_system"))
+                                  lattice_system=req.get("lattice_system"),
+                                  fixed_types=req.get("fixed_types"))
         with self._queue_guard:
             # check-and-enqueue is atomic vs shutdown(): either we enqueue
             # before the final drain (and get drained) or we observe _stop
@@ -322,6 +331,30 @@ class ChemeleonServer:
             from chemeleon_tpu.ops.lattice_proj import system_ids
             system_ids([str(body["lattice_system"])])
             req["lattice_system"] = str(body["lattice_system"])
+        if body.get("fixed_comp"):
+            # server-side CSP clamp (closes the streamlit CSP-over-server
+            # gap): fixed_comp + optional fixed_z expand to the exact type
+            # sequence sample_csp would clamp — n_atoms is DERIVED from it
+            # (an explicit mismatching n_atoms must 400, not silently
+            # generate the wrong cell size)
+            if "comp_prior" in req:
+                raise ValueError(
+                    "fixed_comp and comp_prior are mutually exclusive: CSP "
+                    "clamps types, so a type prior has no effect")
+            from chemeleon_tpu.chem.composition import composition_to_types
+            types = composition_to_types(str(body["fixed_comp"]),
+                                         int(body.get("fixed_z", 1)))
+            if not 1 <= len(types) <= max_atoms:
+                raise ValueError(
+                    f"fixed_comp expands to {len(types)} atoms, outside "
+                    f"[1, {max_atoms}] (reduce fixed_z?)")
+            if "n_atoms" in body and int(body["n_atoms"]) != len(types):
+                raise ValueError(
+                    f"n_atoms={body['n_atoms']} conflicts with fixed_comp "
+                    f"({len(types)} atoms at fixed_z="
+                    f"{int(body.get('fixed_z', 1))}); omit n_atoms or match")
+            req["n_atoms"] = len(types)
+            req["fixed_types"] = types
         return req
 
     def predict_stream(self, req: dict, timeout: float = 600.0):

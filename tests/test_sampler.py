@@ -370,3 +370,35 @@ def test_fixed_lattice_mode(model):
                        lattice_system="cubic")
     with pytest.raises(ValueError):
         m.sample_batch([4, 4], ["a", "b"], fixed_lattice=[cell])
+
+
+def test_csp_mixed_rows_clamp_and_diffuse(model):
+    """A mixed batch (None entries in fixed_types — what the /generate
+    dynamic batcher produces when CSP and free requests share a window,
+    serve/server.py): CSP rows carry exactly their clamped types, free
+    rows still type-diffuse, and a disjoint comp_prior on a free row is
+    allowed and honored."""
+    types = [22, 8, 8]
+    crystals = model.sample_batch(
+        [3, 3, 3], ["TiO2", "NaCl", "NaCl"],
+        fixed_types=[types, None, None],
+        comp_prior=[None, None, "NaCl"], comp_prior_scale=50.0,
+        key=jax.random.PRNGKey(21))
+    assert sorted(crystals[0].atom_types.tolist()) == sorted(types)
+    # prior-guided free row is steered to the Na/Cl element set
+    assert set(crystals[2].atom_types.tolist()) <= {11, 17}
+    # all-None fixed_types degenerates to a plain batch (same compiled
+    # program as no fixed_types at all)
+    a = model.sample_batch([3], ["NaCl"], fixed_types=[None],
+                           key=jax.random.PRNGKey(22))
+    b = model.sample_batch([3], ["NaCl"], key=jax.random.PRNGKey(22))
+    assert a[0].atom_types.tolist() == b[0].atom_types.tolist()
+    assert np.allclose(a[0].frac_coords, b[0].frac_coords)
+
+
+def test_csp_same_row_prior_still_rejected(model):
+    with pytest.raises(ValueError, match="no effect in CSP mode"):
+        model.sample_batch([2, 2], ["TiO2", "TiO2"],
+                           fixed_types=[[22, 8], None],
+                           comp_prior=["TiO2", None],
+                           key=jax.random.PRNGKey(0))
