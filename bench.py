@@ -197,8 +197,9 @@ def _validity_pass():
     # ±0.06 stderr on a headline number), sampled in chunks of the bucket's
     # tuned batch size so the compiled shapes match the throughput pass
     per_bucket = int(os.environ.get("BENCH_VALID_SAMPLES", "128"))
+    fits = {}
     for bucket in (16, 32):
-        fit = _first_fitting(bucket - 8, bucket, per_bucket)
+        fit = fits[bucket] = _first_fitting(bucket - 8, bucket, per_bucket)
         chunk = BUCKET_BATCH[bucket]
         for i in range(0, len(fit), chunk):
             part = fit[i: i + chunk]
@@ -217,13 +218,36 @@ def _validity_pass():
                     # separately
                     relaxed, _ = fire_relax(c, calc, steps=60)
                     n_valid_relaxed += structure_validity(relaxed)
+    # clamped-validity cell: the cubic lattice-system clamp measured 0.79 ->
+    # 0.91 raw / 1.00 post-relax on the probe (BENCH.md "Lattice-system
+    # clamp", results/system_clamp.json); re-verify one clamp cell per
+    # bench run so the driver artifact carries the constrained-sampling
+    # deployment number (round-3 VERDICT item 9)
+    clamp_cell = None
+    if os.environ.get("BENCH_CLAMP", "1") == "1":
+        chunk = BUCKET_BATCH[16]
+        part = fits[16][:chunk]
+        cv = cvr = 0
+        crystals = model.sample_batch(
+            [n for _, n in part], [c for c, _ in part],
+            lattice_system="cubic", key=jax.random.PRNGKey(4242))
+        for c in crystals:
+            if structure_validity(c):
+                cv += 1
+                cvr += 1
+            else:
+                relaxed, _ = fire_relax(c, calc, steps=60)
+                cvr += structure_validity(relaxed)
+        clamp_cell = {"lattice_system": "cubic", "n": len(part),
+                      "valid_frac": round(cv / max(len(part), 1), 4),
+                      "valid_frac_relaxed": round(cvr / max(len(part), 1), 4)}
     # report whether the prompts were semantically LIVE for this checkpoint
     # (composition/clip-orbax backends) or inert (hash): with a live backend
     # valid_frac measures GUIDED generation, not just unconditional geometry
     backend = getattr(model.cfg, "text_encoder", "?")
     live = backend == "composition" or str(backend).startswith("clip-orbax:")
     return (n_valid / max(n_tot, 1), n_valid_relaxed / max(n_tot, 1), n_tot,
-            "guided" if live else "inert-text")
+            "guided" if live else "inert-text", clamp_cell)
 
 
 def run_mix():
@@ -256,34 +280,43 @@ def run_mix():
 
     agg_sps = sum(MP40_BUCKET_MIX.values()) / total_time_708
 
-    # deployment-mode cell: the K=50 strided sampler at the workhorse
-    # shape (N=16, B=128) — measured 6.7x the full chain at HIGHER raw
-    # validity (BENCH.md few-step table, results/fewstep.json); recorded
-    # here so every driver bench run re-verifies the few-step claim
+    # deployment-mode cells: the strided sampler at the workhorse shape
+    # (N=16, K=50 — measured 6.7x the full chain at HIGHER raw validity)
+    # and at the mp-40 median shape (N=32, K=20 — the round-3 continuation
+    # numbers lived only in results/fewstep32.json; round-3 VERDICT item 9
+    # asks for them in the driver-visible artifact). BENCH.md few-step
+    # table has the validity columns for both.
     fewstep = None
     if os.environ.get("BENCH_FEWSTEP", "1") == "1":
-        # clamp for BENCH_TIMESTEPS-reduced runs (K must be <= T)
-        k = min(int(os.environ.get("BENCH_FEWSTEP_K", "50")), timesteps)
-        fs_n = min(16, max(buckets))
-        fs_b = BUCKET_BATCH.get(fs_n, 32)
-        warm = model.sample("LiMnO4 with orthorhombic symmetry", fs_n, fs_b,
-                            key=jax.random.PRNGKey(77), sample_steps=k)
-        del warm
-        t0 = time.perf_counter()
-        crystals = model.sample("LiMnO4 with orthorhombic symmetry", fs_n,
-                                fs_b, key=jax.random.PRNGKey(78),
+        fewstep = {}
+        cells = [(min(16, max(buckets)),
+                  int(os.environ.get("BENCH_FEWSTEP_K", "50"))),
+                 (32, 20)]
+        for fs_n, k in cells:
+            if fs_n not in buckets:
+                continue
+            k = min(k, timesteps)  # BENCH_TIMESTEPS-reduced runs: K <= T
+            fs_b = BUCKET_BATCH.get(fs_n, 32)
+            warm = model.sample("LiMnO4 with orthorhombic symmetry", fs_n,
+                                fs_b, key=jax.random.PRNGKey(77),
                                 sample_steps=k)
-        fs_elapsed = time.perf_counter() - t0
-        full = detail_buckets.get(str(fs_n), {}).get("structures_per_sec")
-        fewstep = {"sample_steps": k, "n_atoms": fs_n, "batch_size": fs_b,
-                   "structures_per_sec": round(len(crystals) / fs_elapsed, 3),
-                   "speedup_vs_full_chain": (
-                       round(len(crystals) / fs_elapsed / full, 2)
-                       if full else None)}
+            del warm
+            t0 = time.perf_counter()
+            crystals = model.sample("LiMnO4 with orthorhombic symmetry",
+                                    fs_n, fs_b, key=jax.random.PRNGKey(78),
+                                    sample_steps=k)
+            fs_elapsed = time.perf_counter() - t0
+            full = detail_buckets.get(str(fs_n), {}).get("structures_per_sec")
+            fewstep[f"n{fs_n}_k{k}"] = {
+                "sample_steps": k, "n_atoms": fs_n, "batch_size": fs_b,
+                "structures_per_sec": round(len(crystals) / fs_elapsed, 3),
+                "speedup_vs_full_chain": (
+                    round(len(crystals) / fs_elapsed / full, 2)
+                    if full else None)}
 
     valid_frac = valid_frac_relaxed = None
     n_validity_samples = 0
-    conditioning = None
+    conditioning = clamp_cell = None
     if os.environ.get("BENCH_VALID", "1") != "1":
         skip_reason = "validity pass skipped (BENCH_VALID=0)"
     elif not SMOKE_CKPT.exists():
@@ -291,7 +324,7 @@ def run_mix():
     else:
         skip_reason = None
         (valid_frac, valid_frac_relaxed, n_validity_samples,
-         conditioning) = _validity_pass()
+         conditioning, clamp_cell) = _validity_pass()
 
     return {
         "metric": "mp40_mix_structures_per_sec_per_chip",
@@ -311,6 +344,7 @@ def run_mix():
                 if valid_frac is not None and n_validity_samples else None),
             "valid_frac_relaxed": valid_frac_relaxed,
             "valid_conditioning": conditioning,
+            "clamp_validity": clamp_cell,
             "fewstep": fewstep,
             "valid_frac_note": (
                 f"{n_validity_samples} samples from the real-data-trained "
@@ -418,7 +452,8 @@ def run_valid():
     """BENCH_MODE=valid: ONLY the validity pass (for comparing checkpoints
     — e.g. EMA vs raw weights via BENCH_VALID_CKPT — without re-timing the
     throughput mix)."""
-    valid_frac, valid_frac_relaxed, n, conditioning = _validity_pass()
+    valid_frac, valid_frac_relaxed, n, conditioning, clamp_cell = \
+        _validity_pass()
     return {
         "metric": "valid_frac",
         "value": round(valid_frac, 4),
@@ -432,6 +467,7 @@ def run_valid():
                                           / max(n, 1))), 4),
             "valid_frac_relaxed": round(valid_frac_relaxed, 4),
             "conditioning": conditioning,
+            "clamp_validity": clamp_cell,
         },
     }
 
