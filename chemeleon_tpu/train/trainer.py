@@ -251,7 +251,9 @@ class Trainer:
                 lr = self.lr_sched.on_epoch(epoch)
                 opt_state = set_learning_rate(opt_state, lr)
                 t0 = time.time()
+                epoch_batches = 0
                 for batch, texts in self.dm.train_dataloader(epoch):
+                    epoch_batches += 1
                     if watchdog is not None:
                         watchdog.beat()
                     step_key = jax.random.fold_in(key, global_step)
@@ -280,6 +282,21 @@ class Trainer:
                             | {"lr": self.lr_sched.lr}, global_step)
                     global_step += 1
 
+                if epoch_batches == 0:
+                    # failure detection: the bucketed loader drops ragged
+                    # per-bucket chunks to keep shapes static (drop_last),
+                    # so a dataset whose every bucket holds < batch_size
+                    # rows yields NOTHING — the run would "train" for
+                    # max_epochs without a single gradient step. Fail loud
+                    # with the fix instead (found by a real silent no-op
+                    # run: 8 rows / batch 8 split across two atom buckets).
+                    raise ValueError(
+                        f"train_dataloader yielded 0 batches at epoch "
+                        f"{epoch}: every pad-bucket holds fewer than "
+                        f"batch_size={cfg.batch_size} rows (drop_last "
+                        f"keeps shapes static). Lower batch_size below "
+                        f"the largest per-bucket row count or coarsen "
+                        f"pad_buckets={cfg.pad_buckets}.")
                 val_metrics = self.validate(params, epoch)
                 if ema_update is not None:
                     val_metrics.update({

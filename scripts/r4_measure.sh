@@ -156,6 +156,25 @@ phase_geogap() {
   log "geogap done"; tail -4 /tmp/geogap.log
 }
 
+phase_knnprobe() {
+  log "fc-vs-knn timing probe (post scatter-free selection)"
+  timeout 3600 python -m chemeleon_tpu.scripts.probe_knn \
+    --out results/knn_probe.json > /tmp/knn_probe.log 2>&1
+  log "knnprobe exit=$?"; tail -3 /tmp/knn_probe.log
+}
+
+phase_memogap() {
+  # rms diagnostic on the memorization-probe caches (CPU)
+  for tag in cell csp; do
+    timeout 1800 python -m chemeleon_tpu.scripts.diag_structure_gap \
+      --cache "results/memo8_${tag}/gen_cache" \
+      --tag "$([ "$tag" = cell ] && echo _csp_cell || echo _csp)" \
+      --n-rows 8 --out "results/memo8_gap_${tag}.json" \
+      > "/tmp/memo8_gap_${tag}.log" 2>&1
+    log "memogap ${tag} exit=$?"
+  done
+}
+
 phase_bench() {
   log "bench start"
   timeout 3600 python bench.py > /tmp/bench_r4.json 2> /tmp/bench_r4.log

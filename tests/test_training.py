@@ -594,3 +594,17 @@ def test_use_ema_errors_without_ema_checkpoint(data_dir, tmp_path):
     with pytest.raises(FileNotFoundError, match="params_ema"):
         Chemeleon.load_from_checkpoint(str(tr.ckpt_dir / "last"),
                                        use_ema=True, text_backend="hash")
+
+
+def test_fit_fails_loud_when_buckets_drop_all_batches(data_dir, tmp_path):
+    """drop_last keeps shapes static, but a dataset whose every pad-bucket
+    holds < batch_size rows would silently train for max_epochs with ZERO
+    gradient steps (found live: 8 rows / batch 8 split across two buckets).
+    The trainer must fail loud at the first empty epoch."""
+    from chemeleon_tpu.train.trainer import Trainer
+    cfg = get_config("chemeleon_bert_prompt", data_dir=data_dir,
+                     log_dir=str(tmp_path / "logs"), exp_name="nobatch",
+                     **{**TINY, "batch_size": 16})  # 12 train rows < 16
+    tr = Trainer(cfg, text_backend="hash")
+    with pytest.raises(ValueError, match="0 batches"):
+        tr.fit(max_epochs=2)
