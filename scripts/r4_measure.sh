@@ -163,15 +163,43 @@ phase_knnprobe() {
   log "knnprobe exit=$?"; tail -3 /tmp/knn_probe.log
 }
 
+phase_memo64() {
+  # middle point of the memorization curve (8 -> 64 -> 596 rows): same
+  # capacity as memo8 (256/4L), bucket-aligned 64-row training set,
+  # fixed-cell CSP eval on the training rows
+  log "memo64 dataset + train"
+  python -m chemeleon_tpu.scripts.make_memo_dataset \
+    --n 64 --batch 8 --out .data_cache/memo64 || return 1
+  timeout 7200 python -m chemeleon_tpu.scripts.smoke_train \
+    --source data/mp-40/test.csv --data-dir .data_cache/memo64 \
+    --exp-name memo64 --preset chemeleon_composition \
+    --hidden 256 --layers 4 --batch 8 --lr 3e-4 --scheduler cosine \
+    --epochs 3000 --ckpt-every 250 --eval-rows 0 --eval-samples 0 \
+    > /tmp/memo64_train.log 2>&1
+  log "memo64 train exit=$?"; tail -2 /tmp/memo64_train.log
+  for mode in "--csp --fixed-cell|cell" "--csp|csp"; do
+    flags="${mode%|*}"; name="${mode#*|}"
+    timeout 5400 python -m chemeleon_tpu.cli evaluate \
+      -m logs/memo64/checkpoints/best \
+      --test-data .data_cache/memo64/test.csv --n-samples 20 \
+      $flags --cache-generation \
+      --save-path "results/memo64_${name}" > "/tmp/memo64_${name}.log" 2>&1
+    log "memo64 eval ${name} exit=$?"
+  done
+}
+
 phase_memogap() {
   # rms diagnostic on the memorization-probe caches (CPU)
-  for tag in cell csp; do
-    timeout 1800 python -m chemeleon_tpu.scripts.diag_structure_gap \
-      --cache "results/memo8_${tag}/gen_cache" \
-      --tag "$([ "$tag" = cell ] && echo _csp_cell || echo _csp)" \
-      --n-rows 8 --out "results/memo8_gap_${tag}.json" \
-      > "/tmp/memo8_gap_${tag}.log" 2>&1
-    log "memogap ${tag} exit=$?"
+  for probe in memo8 memo64; do
+    for tag in cell csp; do
+      [ -d "results/${probe}_${tag}/gen_cache" ] || continue
+      timeout 1800 python -m chemeleon_tpu.scripts.diag_structure_gap \
+        --cache "results/${probe}_${tag}/gen_cache" \
+        --tag "$([ "$tag" = cell ] && echo _csp_cell || echo _csp)" \
+        --n-rows 64 --out "results/${probe}_gap_${tag}.json" \
+        > "/tmp/${probe}_gap_${tag}.log" 2>&1
+      log "memogap ${probe} ${tag} exit=$?"
+    done
   done
 }
 

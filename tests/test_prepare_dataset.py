@@ -116,3 +116,24 @@ def test_prepare_time_split_and_outputs(tmp_path, dump_csv, vendored_rows):
     txt = (out2 / "lattice_params.txt").read_text()
     assert txt.startswith("mean: [") and "std: [" in txt
     assert CUTOFF == "2018-08-04"
+
+
+def test_make_memo_dataset_bucket_alignment(tmp_path):
+    """Every bucket's row count must be a multiple of batch_size so the
+    drop_last bucketed loader keeps all of it (train/trainer.py guard)."""
+    from chemeleon_tpu.scripts.make_memo_dataset import (build, cif_natoms,
+                                                         pick_bucket)
+    import csv
+    stats = build("data/mp-40/test.csv", str(tmp_path / "memo"), n=16,
+                  batch_size=4)
+    assert stats["rows"] > 0 and stats["rows"] % 4 == 0
+    assert all(v % 4 == 0 and v > 0 for v in stats["buckets"].values())
+    csv.field_size_limit(10 ** 9)
+    with open(tmp_path / "memo" / "train.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == stats["rows"]
+    # unique compositions, natoms consistent with the chosen buckets
+    comps = [r["composition"] for r in rows]
+    assert len(set(comps)) == len(comps)
+    for r in rows:
+        assert pick_bucket(cif_natoms(r["cif"])) in stats["buckets"]
