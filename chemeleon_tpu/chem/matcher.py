@@ -290,10 +290,15 @@ class StructureMatcher:
                      n) -> bool:
         """Per-species assignment + translation refinement; accept on
         normalized rms <= stol (pymatgen's fit criterion)."""
-        # generous per-site prune: a candidate whose best per-site distance
-        # exceeds 3*stol*norm anywhere cannot reach rms <= stol*norm for
-        # typical n; cheap early exit that keeps dedupe fast
-        prune = 3.0 * self.stol * norm
+        # exact per-site prune: with all other sites perfect, a single site
+        # may be displaced up to sqrt(n)*stol*norm while the normalized rms
+        # stays <= stol, so that is the largest per-site distance any
+        # accepting assignment can contain (a 3*stol*norm prune wrongly
+        # rejected n > 9 matches with one outlier site). rms-collection
+        # mode (get_rms_dist) must not prune at all — it reports minima
+        # ABOVE the acceptance bound too.
+        collecting = hasattr(self, "_best_rms")
+        prune = np.inf if collecting else np.sqrt(n) * self.stol * norm
         for _ in range(2):  # one refinement pass
             total_sq = 0.0
             disp_sum = np.zeros(3)

@@ -99,17 +99,19 @@ def rewrite_formula_tokens(text: str, mapping: Dict[str, str]) -> str:
         return bool(comp) and (any(ch.isdigit() for ch in tok)
                                or len(comp) >= 2)
 
-    def _rewrite(tok: str) -> str:
-        body = tok.strip(".,;:!?\"'")
-        if not body or not _plausible_formula(body):
-            return tok
-        new_body = _re.sub(r"[A-Z][a-z]?",
-                           lambda m: mapping.get(m.group(0), m.group(0)),
-                           body)
-        return tok.replace(body, new_body, 1)
+    def _rewrite(m: "_re.Match") -> str:
+        body = m.group(0)
+        if not _plausible_formula(body):
+            return body
+        return _re.sub(r"[A-Z][a-z]?",
+                       lambda mm: mapping.get(mm.group(0), mm.group(0)),
+                       body)
 
-    parts = _re.split(r"(\s+)", text)
-    return "".join(p if p.isspace() else _rewrite(p) for p in parts)
+    # rewrite every maximal formula-shaped run, not whitespace tokens: a
+    # formula attached to ANY joiner ("TiO2-based", "TiO2/anatase",
+    # "(TiO2)") must still be renamed, else augmentation trains substituted
+    # structures against the original prose
+    return _re.sub(r"[A-Za-z0-9()]+", _rewrite, text)
 
 
 def substitute_types(atom_types: np.ndarray, rng: np.random.Generator,

@@ -452,8 +452,12 @@ int ctpu_structures_fit(int n, const double *lat1_in, const double *frac1_in,
             shift[d] = g[j * 3 + d] - f1[idx1_anchor * 3 + d];
             shift[d] -= std::floor(shift[d]);
           }
-          // per-species assignment + one translation-refinement pass
-          const double prune = 3.0 * stol * norm;
+          // per-species assignment + one translation-refinement pass.
+          // Exact per-site prune: with all other sites perfect, one site
+          // may be displaced up to sqrt(n)*stol*norm while rms stays
+          // <= stol (a 3*stol*norm prune wrongly rejected n > 9 matches
+          // with a single outlier site).
+          const double prune = std::sqrt((double)n) * stol * norm;
           for (int pass = 0; pass < 2; ++pass) {
             double total_sq = 0, disp_sum[3] = {0, 0, 0};
             bool fail = false;

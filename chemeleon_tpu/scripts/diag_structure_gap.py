@@ -86,6 +86,13 @@ def main():
                     break
                 gt = parsed[i]
                 samples = gen[j * args.n_samples: (j + 1) * args.n_samples]
+                if len(samples) < args.n_samples:
+                    # a cache written with --max-rows holds a ragged final
+                    # chunk per bucket (fewer rows than pack_rows); rows
+                    # beyond it were never generated — skipping them keeps
+                    # the mapping statistics unbiased instead of recording
+                    # phantom n_mappable=0 rows
+                    continue
                 dists = []
                 for c in samples:
                     try:

@@ -10,10 +10,25 @@ from chemeleon_tpu.chem.structure import Crystal
 
 
 def predict_stream(url: str, text_input: str, n_atoms: int, n_samples: int,
-                   timeout: float = 600.0) -> Iterator[dict]:
-    """POST /predict and yield decoded JSON lines as they stream."""
-    body = json.dumps({"text_input": text_input, "n_atoms": n_atoms,
-                       "n_samples": n_samples}).encode()
+                   timeout: float = 600.0, comp_prior: str = None,
+                   comp_prior_scale: float = 1.0,
+                   lattice_system: str = None, fixed_comp: str = None,
+                   fixed_z: int = 1) -> Iterator[dict]:
+    """POST /predict and yield decoded JSON lines as they stream.
+    Conditioning kwargs as in ``generate`` — the streaming path honors the
+    same per-request clamps/priors (mixed rows coalesce into one scan)."""
+    payload = {"text_input": text_input, "n_atoms": n_atoms,
+               "n_samples": n_samples}
+    if comp_prior:
+        payload["comp_prior"] = comp_prior
+        payload["comp_prior_scale"] = comp_prior_scale
+    if lattice_system:
+        payload["lattice_system"] = lattice_system
+    if fixed_comp:
+        payload["fixed_comp"] = fixed_comp
+        payload["fixed_z"] = fixed_z
+        payload.pop("n_atoms", None)  # derived server-side from the formula
+    body = json.dumps(payload).encode()
     req = Request(url.rstrip("/") + "/predict", data=body,
                   headers={"Content-Type": "application/json"})
     with urlopen(req, timeout=timeout) as r:

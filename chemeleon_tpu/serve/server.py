@@ -68,12 +68,23 @@ class _StreamError:
 
 class _StreamJob:
     """One /predict stream in the stream-coalescing queue. The collector
-    pushes payload lines (str), a _StreamError, or the None end sentinel."""
+    pushes payload lines (str), a _StreamError, or the None end sentinel.
+    Carries the same per-request conditioning as _PendingRequest: a
+    coalesced stream window can mix CSP-clamped, prior-biased,
+    lattice-clamped, and free rows (None = free)."""
 
-    def __init__(self, n_samples: int, n_atoms: int, text: str):
+    def __init__(self, n_samples: int, n_atoms: int, text: str,
+                 comp_prior: Optional[str] = None,
+                 comp_prior_scale: float = 0.0,
+                 lattice_system: Optional[str] = None,
+                 fixed_types: Optional[list] = None):
         self.n_samples = n_samples
         self.n_atoms = n_atoms
         self.text = text
+        self.comp_prior = comp_prior
+        self.comp_prior_scale = comp_prior_scale
+        self.lattice_system = lattice_system
+        self.fixed_types = fixed_types
         self.lines: "queue.Queue" = queue.Queue()
         self.cancelled = False
 
@@ -239,17 +250,33 @@ class ChemeleonServer:
             if not batch:
                 continue
             total = sum(r.n_samples for r in batch)
-            natoms, texts = [], []
+            natoms, texts, priors, scales, lsys, ftypes = ([], [], [], [],
+                                                           [], [])
             for r in batch:
                 natoms.extend([r.n_atoms] * r.n_samples)
                 texts.extend([r.text] * r.n_samples)
+                priors.extend([r.comp_prior] * r.n_samples)
+                scales.extend([r.comp_prior_scale] * r.n_samples)
+                lsys.extend([r.lattice_system] * r.n_samples)
+                ftypes.extend([r.fixed_types] * r.n_samples)
             for _ in range(self._quantize_batch(total) - total):
                 natoms.append(batch[0].n_atoms)
                 texts.append(batch[0].text)
+                priors.append(None)
+                scales.append(0.0)
+                lsys.append(None)
+                ftypes.append(None)
             try:
                 gen = self.model.sample_batch_stream(
                     natoms, texts, stream_chunk=chunk,
-                    sample_steps=self.sample_steps or None)
+                    sample_steps=self.sample_steps or None,
+                    comp_prior=(priors if any(p is not None for p in priors)
+                                else None),
+                    comp_prior_scale=scales,
+                    lattice_system=(lsys if any(s is not None for s in lsys)
+                                    else None),
+                    fixed_types=(ftypes if any(t is not None for t in ftypes)
+                                 else None))
                 t = total_steps
                 while True:
                     # hold the device lock per CHUNK so /generate batches
@@ -362,7 +389,11 @@ class ChemeleonServer:
         demultiplexed payload lines. Wire format unchanged (one NDJSON line
         per recorded step, this client's samples only)."""
         job = _StreamJob(req["n_samples"], req["n_atoms"],
-                         req["text_input"])
+                         req["text_input"],
+                         comp_prior=req.get("comp_prior"),
+                         comp_prior_scale=req.get("comp_prior_scale", 0.0),
+                         lattice_system=req.get("lattice_system"),
+                         fixed_types=req.get("fixed_types"))
         with self._queue_guard:
             if self._stop.is_set():
                 raise RuntimeError("server shutting down")

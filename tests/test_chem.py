@@ -278,3 +278,28 @@ loop_
 """
     c = parse_cif(cif)
     assert len(c) == 1  # special position maps to itself
+
+
+def test_structure_matcher_single_outlier_site():
+    """Per-site prune regression: with all other sites perfect, ONE site may
+    be displaced up to sqrt(n)*stol*norm while normalized rms stays <= stol.
+    The old 3*stol*norm prune wrongly rejected such n > 9 matches; fit()
+    must agree with get_rms_dist() <= stol on both backends."""
+    rng = np.random.default_rng(0)
+    lat = lattice_from_parameters(5, 5, 5, 90, 90, 90)
+    n = 12
+    coords = rng.uniform(size=(n, 3))
+    types = [8] * 6 + [22] * 6
+    gt = Crystal(lat, coords, types)
+    m = StructureMatcher()
+    norm = (gt.volume / n) ** (1 / 3)
+    for f, expect in ((0.95, True), (1.15, False)):
+        d_frac = (np.array([f * np.sqrt(n) * m.stol * norm, 0, 0])
+                  @ np.linalg.inv(lat))
+        c2 = coords.copy()
+        c2[5] = (c2[5] + d_frac) % 1.0     # a non-anchor site
+        s2 = Crystal(lat, c2, types)
+        rms = m.get_rms_dist(gt, s2)
+        assert (rms <= m.stol) == expect
+        assert StructureMatcher(backend="python").fit(gt, s2) == expect
+        assert StructureMatcher(backend="native").fit(gt, s2) == expect

@@ -919,3 +919,38 @@ def test_evaluate_csp_and_cache(model, tmp_path, monkeypatch):
                            csp=True, cache_generation=True)
     assert means2["mean_composition_matching"] == 1.0
     assert means2["mean_valid_samples"] == means["mean_valid_samples"]
+
+
+def test_server_stream_honors_fixed_comp_and_clamp(model):
+    """/predict (streaming) must honor the same per-request conditioning as
+    /generate: fixed_comp's CSP clamp is absolute ('exact composition by
+    construction'), so silently dropping it on the streaming path returned
+    free-diffused types under a CSP contract. A CSP stream and a free
+    stream coalesce into one window; the CSP client's final payload carries
+    exactly the requested composition."""
+    from concurrent.futures import ThreadPoolExecutor
+    from chemeleon_tpu.chem.structure import Crystal
+    from chemeleon_tpu.serve.client import predict_stream
+    from chemeleon_tpu.serve.server import ChemeleonServer
+
+    port = _free_port()
+    server = ChemeleonServer(model=model, host="127.0.0.1", port=port,
+                             stream_chunk=5, batch_window_s=1.0)
+    server.run(background=True)
+    try:
+        url = f"http://127.0.0.1:{port}"
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            csp = ex.submit(lambda: list(predict_stream(
+                url, "TiO2", 0, 2, 600.0, fixed_comp="TiO2", fixed_z=2)))
+            free = ex.submit(lambda: list(predict_stream(
+                url, "XyzFree", 6, 2, 600.0)))
+            cs, fs = csp.result(), free.result()
+        assert cs[-1]["step"] == 0 and fs[-1]["step"] == 0
+        for d in cs[-1]["atoms"]:
+            c = Crystal.from_dict(d)
+            assert sorted(c.atom_types.tolist()) == [8, 8, 8, 8, 22, 22]
+        assert len(fs[-1]["atoms"]) == 2
+        # both streams coalesced into one scan window
+        assert server.stream_batch_calls == 1, server.stream_batch_calls
+    finally:
+        server.shutdown()
