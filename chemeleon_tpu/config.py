@@ -44,6 +44,10 @@ class ChemeleonConfig:
     act_fn: str = "silu"
     dis_emb: str = "sin"
     num_freqs: int = 128
+    # "fc" is the production path (reference default, config.py:36). "knn"
+    # is correct + tested but eval-only: measured 0.27-0.43x fc throughput
+    # (results/knn_probe.json, BENCH.md round 4) — its [B,N,27N] neighbor
+    # ranking loses to the fused dense fc pass at every mp-40 size.
     edge_style: str = "fc"  # "fc" | "knn"
     max_neighbors: int = 20
     cutoff: float = 6.0
