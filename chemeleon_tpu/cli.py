@@ -186,9 +186,14 @@ def cli_sample_prompt(text_input, n_atoms, n_samples, save_dir,
               help="Clamp each row's lattice to its own (Niggli-canonical) "
                    "ground-truth cell — known-cell protocol; combine with "
                    "--csp for Rietveld-style coordinate-only diffusion.")
+@click.option("--step-lr", default=1e-5, show_default=True,
+              help="Langevin corrector strength (reference chemeleon.py:"
+                   "452-462 default 1e-5). 0 disables the corrector noise "
+                   "injections — measured +5-6 pts raw validity on the full "
+                   "chain (results/step_lr_sweep.json).")
 def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
                  max_rows, csp, pack_rows, cache_generation,
-                 comp_prior_scale, sample_steps, fixed_cell):
+                 comp_prior_scale, sample_steps, fixed_cell, step_lr):
     from chemeleon_tpu.eval.evaluate import test_evaluate
     from chemeleon_tpu.models.chemeleon import Chemeleon
 
@@ -200,7 +205,8 @@ def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
                   max_rows=max_rows, csp=csp, pack_rows=pack_rows,
                   cache_generation=cache_generation,
                   comp_prior_scale=comp_prior_scale,
-                  sample_steps=sample_steps, fixed_cell=fixed_cell)
+                  sample_steps=sample_steps, fixed_cell=fixed_cell,
+                  step_lr=step_lr)
 
 
 @cli.command(name="retrieval",

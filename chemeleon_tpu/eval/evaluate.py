@@ -73,7 +73,8 @@ def _packed_generate(model, parsed, n_samples, cond_scale, key,
                      pack_rows: int = 8, csp: bool = False,
                      comp_prior_scale: float = 0.0,
                      cache_dir: Optional[Path] = None,
-                     sample_steps: int = 0, fixed_cell: bool = False):
+                     sample_steps: int = 0, fixed_cell: bool = False,
+                     step_lr: float = 1e-5):
     """TPU-first generation: pack several test rows into one sampler batch
     (grouped by padding bucket), instead of one sampler call per row like
     the reference (evaluate.py:94-99). Returns {row_index: [Crystal]}.
@@ -109,6 +110,8 @@ def _packed_generate(model, parsed, n_samples, cond_scale, key,
         tag += "_cell"  # known-cell (clamped lattice) runs
     if sample_steps:
         tag += f"_k{sample_steps}"  # few-step runs get their own cache
+    if step_lr != 1e-5:
+        tag += f"_lr{step_lr:g}"  # non-default corrector strength
     for bucket, idxs in sorted(by_bucket.items()):
         for s in range(0, len(idxs), pack_rows):
             chunk = idxs[s: s + pack_rows]
@@ -151,6 +154,7 @@ def _packed_generate(model, parsed, n_samples, cond_scale, key,
                         comp_prior_scale=comp_prior_scale,
                         sample_steps=sample_steps or None,
                         fixed_lattice=cells[sl] if fixed_cell else None,
+                        step_lr=step_lr,
                         key=jax.random.fold_in(kb, p))
                 if cpath is not None:
                     _save_gen_chunk(cpath, gen)
@@ -168,7 +172,8 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
                   csp: bool = False, comp_prior_scale: float = 0.0,
                   cache_generation: bool = False,
                   sample_steps: int = 0,
-                  fixed_cell: bool = False) -> Dict[str, float]:
+                  fixed_cell: bool = False,
+                  step_lr: float = 1e-5) -> Dict[str, float]:
     """Evaluate ``model`` (a Chemeleon with params loaded) on the test CSV.
 
     ``pack_rows`` > 1 batches several rows per compiled sampler call (same
@@ -213,7 +218,7 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
         pack_rows=max(1, pack_rows), csp=csp,
         comp_prior_scale=comp_prior_scale,
         cache_dir=Path(save_path) / "gen_cache" if cache_generation else None,
-        sample_steps=sample_steps, fixed_cell=fixed_cell)
+        sample_steps=sample_steps, fixed_cell=fixed_cell, step_lr=step_lr)
 
     it = [(i, rows[i]) for i in sorted(parsed)]
     if progress:

@@ -114,6 +114,38 @@ def test_evaluate_end_to_end(model, tmp_path, monkeypatch):
     assert 0.0 <= means["mean_valid_samples"] <= 1.0
 
 
+def test_evaluate_step_lr_knob(model, tmp_path, monkeypatch):
+    """step_lr reaches sample_batch and non-default values get their own
+    generation-cache tag (a corrector-off cache must never be served to a
+    reference-parity run)."""
+    from chemeleon_tpu.eval import evaluate as ev
+    from chemeleon_tpu.eval.evaluate import test_evaluate
+    monkeypatch.setattr(ev.M, "test_valid", lambda lst: list(lst))
+    seen = []
+    orig = type(model).sample_batch
+
+    def spy(self, *a, **kw):
+        seen.append(kw.get("step_lr"))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(type(model), "sample_batch", spy)
+    rng = np.random.default_rng(2)
+    c = Crystal(lattice_from_parameters(4, 5, 6, 90, 90, 90),
+                rng.uniform(size=(4, 3)), rng.integers(1, 20, 4))
+    path = tmp_path / "test.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["material_id", "cif", "composition"])
+        w.writeheader()
+        w.writerow({"material_id": "mp-0", "cif": write_cif(c),
+                    "composition": c.reduced_formula()})
+    test_evaluate(model, test_data=path, n_samples=2, progress=False,
+                  save_path=str(tmp_path / "res"), step_lr=0.0,
+                  cache_generation=True)
+    assert seen and all(lr == 0.0 for lr in seen)
+    cached = list((tmp_path / "res" / "gen_cache").glob("*.npz"))
+    assert cached and all("_lr0" in p.name for p in cached)
+
+
 def test_sample_target_composition_prior_mode(model, tmp_path):
     from chemeleon_tpu.scripts.sample_target_composition import (
         sample_target_composition,
