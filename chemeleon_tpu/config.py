@@ -183,6 +183,12 @@ class ChemeleonConfig:
     # expansion of every row that fits the atom cap (same structure trained
     # at Z and 2Z; static natoms, so bucket plans stay compile-stable) ...
     aug_supercell: bool = False
+    # Largest supercell factor emitted by the expansion: every row whose
+    # Z*natoms fits the atom cap appears once per factor in 2..max_z (round
+    # 5 widening — Z=3 where <=~13 atoms triples the small-cell diversity
+    # that moved train-row structure_matching in round 4). 2 = round-4
+    # behavior.
+    aug_supercell_max_z: int = 2
     # ... and per-epoch lattice-strain jitter (relative amplitude of a
     # random symmetric strain; cells re-canonicalized). 0 = off.
     aug_lattice_noise: float = 0.0

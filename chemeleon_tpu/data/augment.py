@@ -165,17 +165,20 @@ class SupercellView:
     supercell, so all text passes through unchanged.
     """
 
-    def __init__(self, dataset, max_atoms: int = 40):
+    def __init__(self, dataset, max_atoms: int = 40, max_z: int = 2):
         self.dataset = dataset
         self.text_targets = getattr(dataset, "text_targets", None)
         base_n = np.asarray(dataset.natoms())
-        self.index = [(i, False) for i in range(len(dataset))]
-        self.index += [(i, True) for i in range(len(dataset))
-                       if 2 * int(base_n[i]) <= max_atoms]
+        # index entries are (row, factor): factor 1 = the original cell,
+        # factor k>=2 = k-fold expansion along the shortest axis
+        self.index = [(i, 1) for i in range(len(dataset))]
+        for z in range(2, max(2, int(max_z)) + 1):
+            self.index += [(i, z) for i in range(len(dataset))
+                           if z * int(base_n[i]) <= max_atoms]
         if hasattr(dataset, "rows"):
             self.rows = [dataset.rows[i] for i, _ in self.index]
         self._natoms = np.asarray(
-            [int(base_n[i]) * (2 if s else 1) for i, s in self.index])
+            [int(base_n[i]) * z for i, z in self.index])
 
     def __len__(self) -> int:
         return len(self.index)
@@ -184,23 +187,22 @@ class SupercellView:
         return self._natoms
 
     def __getitem__(self, idx: int) -> Dict:
-        i, sup = self.index[idx]
+        i, z = self.index[idx]
         item = dict(self.dataset[i])
-        if not sup:
+        if z == 1:
             return item
         lat = np.asarray(item["lattice"], dtype=np.float32)
         axis = int(np.argmin(np.linalg.norm(lat, axis=1)))
         new_lat = lat.copy()
-        new_lat[axis] *= 2.0
+        new_lat[axis] *= float(z)
         frac = np.asarray(item["frac_coords"], dtype=np.float32)
-        f1 = frac.copy()
-        f1[:, axis] *= 0.5
-        f2 = f1.copy()
-        f2[:, axis] += 0.5
+        base = frac.copy()
+        base[:, axis] /= float(z)
+        copies = [base + np.eye(3, dtype=np.float32)[axis] * (k / float(z))
+                  for k in range(z)]
         item["lattice"] = new_lat
-        item["frac_coords"] = np.concatenate([f1, f2], axis=0)
-        item["atom_types"] = np.concatenate(
-            [item["atom_types"], item["atom_types"]], axis=0)
+        item["frac_coords"] = np.concatenate(copies, axis=0)
+        item["atom_types"] = np.concatenate([item["atom_types"]] * z, axis=0)
         return item
 
 

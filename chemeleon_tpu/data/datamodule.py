@@ -125,7 +125,8 @@ class DataModule:
         if self.cfg.aug_supercell:
             from chemeleon_tpu.data.augment import SupercellView
             # deterministic expansion (fixed across epochs: static shapes)
-            ds = SupercellView(ds, max_atoms=max(self.cfg.pad_buckets))
+            ds = SupercellView(ds, max_atoms=max(self.cfg.pad_buckets),
+                               max_z=self.cfg.aug_supercell_max_z)
         if self.cfg.aug_substitution_prob > 0:
             from chemeleon_tpu.data.augment import AugmentedView
             # reseeded per epoch: every epoch sees a fresh substitution draw

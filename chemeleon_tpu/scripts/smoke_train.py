@@ -71,6 +71,10 @@ def main() -> None:
     ap.add_argument("--aug-supercell", action="store_true",
                     help="deterministic 2x-supercell (Z-factor) expansion "
                          "of rows that fit the atom cap")
+    ap.add_argument("--aug-supercell-z", type=int, default=2,
+                    help="largest supercell factor (2 = round-4 behavior; "
+                         "3 adds a triple-cell copy of every row with "
+                         "<=max_atoms/3 atoms)")
     ap.add_argument("--aug-lat", type=float, default=0.0,
                     help="per-epoch lattice-strain jitter amplitude "
                          "(relative; 0 = off)")
@@ -99,6 +103,7 @@ def main() -> None:
         checkpoint_every_n_epochs=args.ckpt_every, max_epochs=args.epochs,
         ema_decay=args.ema_decay, watchdog_timeout_s=args.watchdog,
         aug_substitution_prob=args.aug_sub, aug_supercell=args.aug_supercell,
+        aug_supercell_max_z=args.aug_supercell_z,
         aug_lattice_noise=args.aug_lat)
     trainer = Trainer(cfg, text_backend=args.text_backend)
     result = trainer.fit(resume_from=args.resume_from)

@@ -245,6 +245,33 @@ def test_supercell_view():
     assert StructureMatcher().fit(orig, sup)
 
 
+def test_supercell_view_z3():
+    """max_z=3 adds a triple-cell copy where 3*natoms fits; the Z=3 copy
+    is the same crystal (matcher fit) with 3x volume and static natoms."""
+    from chemeleon_tpu.data.augment import SupercellView
+
+    ds = FakeDataset()
+    view = SupercellView(ds, max_atoms=8, max_z=3)
+    # rows: TiO2(6), NaCl(2), NaCl@Z2(4), NaCl@Z3(6)
+    assert len(view) == 4
+    assert list(view.natoms()) == [6, 2, 4, 6]
+    item = view[3]
+    np.testing.assert_array_equal(item["atom_types"], [11, 17] * 3)
+    base = ds[1]
+    assert abs(np.linalg.det(item["lattice"])
+               - 3 * np.linalg.det(base["lattice"])) < 1e-4
+    # all fractional coords stay in [0, 1)
+    assert item["frac_coords"].min() >= 0.0
+    assert item["frac_coords"].max() < 1.0
+    from chemeleon_tpu.chem.structure import Crystal
+    from chemeleon_tpu.chem.matcher import StructureMatcher
+    sup = Crystal(item["lattice"], item["frac_coords"], item["atom_types"])
+    orig = Crystal(base["lattice"], base["frac_coords"], base["atom_types"])
+    assert StructureMatcher().fit(orig, sup)
+    # default max_z=2 keeps the round-4 behavior exactly
+    assert len(SupercellView(ds, max_atoms=8)) == 3
+
+
 def test_lattice_noise_view():
     from chemeleon_tpu.data.augment import LatticeNoiseView
     from chemeleon_tpu.models.chemeleon import MASK_LATTICE_MATRIX
