@@ -22,8 +22,12 @@ results/matcher_calibration.json):
   5. for each candidate basis + anchor translation, per-species min-cost
      assignment (Hungarian) on periodic displacements, followed by
      mean-displacement translation refinement (pymatgen's _cart_dists
-     optimizes the translation the same way); accept when the normalized
-     RMS displacement rms / (V/n)^(1/3) is within stol.
+     optimizes the translation the same way); accept when the MAX
+     normalized per-site displacement max_i |d_i| / (V/n)^(1/3) is within
+     stol — pymatgen's fit() criterion (use_rms=False in _strict_match),
+     under which a single site beyond stol*norm fails the match even when
+     the rms is small. get_rms_dist() keeps the rms semantics (pymatgen's
+     get_rms_dist uses use_rms=True).
 
 This is a faithful re-derivation of the published matching criteria (not a
 code port).
@@ -195,9 +199,12 @@ class StructureMatcher:
         Searches with the acceptance threshold relaxed to ``max_rms`` (in
         units of (V/n)^(1/3)) and returns the smallest normalized rms found,
         or None when no lattice mapping exists within (ltol, angle_tol) or
-        compositions/sizes are incompatible. ``fit() is True`` iff
-        ``get_rms_dist() <= stol`` for the same tolerances. Always uses the
-        python backend (the native kernel returns only the boolean)."""
+        compositions/sizes are incompatible. NOTE: like pymatgen, this is
+        the rms (use_rms=True) while ``fit()`` accepts on the MAX per-site
+        displacement (use_rms=False), so ``get_rms_dist() <= stol`` does NOT
+        imply ``fit()`` — a single outlier site can fail fit() while the rms
+        stays under stol. Always uses the python backend (the native kernel
+        returns only the boolean)."""
         if self.primitive_cell:
             s1, s2 = self._primitive(s1), self._primitive(s2)
         if s1.reduced_composition() != s2.reduced_composition():
@@ -288,21 +295,17 @@ class StructureMatcher:
 
     def _sites_match(self, f1, f2p, shift, sp_idx1, sp_idx2, lat, norm,
                      n) -> bool:
-        """Per-species assignment + translation refinement; accept on
-        normalized rms <= stol (pymatgen's fit criterion)."""
-        # exact per-site prune: with all other sites perfect, a single site
-        # may be displaced up to sqrt(n)*stol*norm while the normalized rms
-        # stays <= stol, so that is the largest per-site distance any
-        # accepting assignment can contain (a 3*stol*norm prune wrongly
-        # rejected n > 9 matches with one outlier site). rms-collection
-        # mode (get_rms_dist) must not prune at all — it reports minima
-        # ABOVE the acceptance bound too.
+        """Per-species assignment + translation refinement; accept on the
+        MAX normalized per-site displacement <= stol (pymatgen's fit()
+        criterion, use_rms=False — a single site beyond stol*norm fails
+        even when the rms is small). rms-collection mode (get_rms_dist)
+        records the rms instead, matching pymatgen's use_rms=True, and
+        never accepts — it reports minima ABOVE the bound too."""
         collecting = hasattr(self, "_best_rms")
-        prune = np.inf if collecting else np.sqrt(n) * self.stol * norm
         for _ in range(2):  # one refinement pass
             total_sq = 0.0
+            max_d = 0.0
             disp_sum = np.zeros(3)
-            ok = True
             for sp, i1 in sp_idx1.items():
                 i2 = sp_idx2[sp]
                 if len(i1) != len(i2):
@@ -316,20 +319,16 @@ class StructureMatcher:
                 except ValueError:
                     return False
                 dists = cost[ri, ci]
-                if (dists > prune).any():
-                    ok = False
-                    break
                 total_sq += float((dists ** 2).sum())
+                max_d = max(max_d, float(dists.max()))
                 disp_sum += cart[ri, ci].sum(axis=0)
-            if not ok:
-                return False
             rms = (total_sq / n) ** 0.5 / norm
-            if hasattr(self, "_best_rms"):
+            if collecting:
                 # rms-collection mode (get_rms_dist): record the minimum and
                 # keep searching instead of accepting
                 if self._best_rms is None or rms < self._best_rms:
                     self._best_rms = rms
-            elif rms <= self.stol:
+            elif max_d / norm <= self.stol:
                 return True
             # refine: shift so the mean displacement vanishes
             # (disp = f1 - (f2p - shift); zeroing the mean moves shift by

@@ -110,8 +110,12 @@ def rewrite_formula_tokens(text: str, mapping: Dict[str, str]) -> str:
     # rewrite every maximal formula-shaped run, not whitespace tokens: a
     # formula attached to ANY joiner ("TiO2-based", "TiO2/anatase",
     # "(TiO2)") must still be renamed, else augmentation trains substituted
-    # structures against the original prose
-    return _re.sub(r"[A-Za-z0-9()]+", _rewrite, text)
+    # structures against the original prose. '.' joins a run only BETWEEN
+    # alphanumerics so decimal stoichiometries ("Li0.5CoO2") rename
+    # atomically while sentence-final periods stay outside the run — a
+    # split run half-renamed the formula ("Na0.5CoO2") because the "5CoO2"
+    # fragment failed parse_composition and kept its old symbols
+    return _re.sub(r"[A-Za-z0-9()]+(?:\.[A-Za-z0-9()]+)*", _rewrite, text)
 
 
 def substitute_types(atom_types: np.ndarray, rng: np.random.Generator,

@@ -308,7 +308,8 @@ double ctpu_min_pair_distance(int n, const double *lat, const double *frac) {
 //   the second Niggli cell with matching lengths/angles -> anchor
 //   translations -> per-species Hungarian assignment on periodic
 //   displacements -> mean-displacement translation refinement ->
-//   normalized-RMS acceptance (rms / (V/n)^(1/3) <= stol).
+//   max normalized per-site displacement acceptance
+//   (max_i |d_i| / (V/n)^(1/3) <= stol — pymatgen fit(), use_rms=False).
 int ctpu_structures_fit(int n, const double *lat1_in, const double *frac1_in,
                         const int32_t *types1, const double *lat2_in,
                         const double *frac2_in, const int32_t *types2,
@@ -453,13 +454,12 @@ int ctpu_structures_fit(int n, const double *lat1_in, const double *frac1_in,
             shift[d] -= std::floor(shift[d]);
           }
           // per-species assignment + one translation-refinement pass.
-          // Exact per-site prune: with all other sites perfect, one site
-          // may be displaced up to sqrt(n)*stol*norm while rms stays
-          // <= stol (a 3*stol*norm prune wrongly rejected n > 9 matches
-          // with a single outlier site).
-          const double prune = std::sqrt((double)n) * stol * norm;
+          // Acceptance is on the MAX per-site displacement (pymatgen
+          // fit(), use_rms=False): a single site beyond stol*norm fails
+          // the match even when the rms is small, so no sub-stol*norm
+          // prune is valid and refinement must see the full assignment.
           for (int pass = 0; pass < 2; ++pass) {
-            double total_sq = 0, disp_sum[3] = {0, 0, 0};
+            double max_d = 0, disp_sum[3] = {0, 0, 0};
             bool fail = false;
             for (int sp : species) {
               std::vector<int> i1, i2;
@@ -494,21 +494,15 @@ int ctpu_structures_fit(int n, const double *lat1_in, const double *frac1_in,
               hungarian(cost, m, match);
               for (int a = 0; a < m; ++a) {
                 double dd = cost[(size_t)a * m + match[a]];
-                if (dd > prune) {
-                  fail = true;
-                  break;
-                }
-                total_sq += dd * dd;
+                if (dd > max_d) max_d = dd;
                 const double *cv = &cart_all[((size_t)a * m + match[a]) * 3];
                 disp_sum[0] += cv[0];
                 disp_sum[1] += cv[1];
                 disp_sum[2] += cv[2];
               }
-              if (fail) break;
             }
             if (fail) break;
-            double rms = sqrt(total_sq / n);
-            if (rms / norm <= stol) return 1;
+            if (max_d / norm <= stol) return 1;
             // refine: move shift so the mean displacement vanishes
             double mean_cart[3] = {disp_sum[0] / n, disp_sum[1] / n,
                                    disp_sum[2] / n};

@@ -25,6 +25,14 @@ gap is in our dense-masked CSPNet rewrite and per-layer diffing can find
 it.  Writes results/diag_reference_memo.json.
 
 CPU-only; safe to run while a TPU job owns the chip.
+
+SECURITY NOTE: this diagnostic imports and executes code from
+/root/reference (public untrusted content) in-process. It is manual-only —
+never imported by the package, the tests, or any CI path — and must stay
+that way. The two modules it loads (modules/cspnet.py, utils/diff_utils.py
+plus their scatter/data_utils deps) were read and audited line-by-line
+before the import was written: they are pure tensor math with no I/O,
+network, subprocess, or filesystem side effects at module scope.
 """
 from __future__ import annotations
 

@@ -207,6 +207,15 @@ def test_prompt_rewrite_and_enabled():
     # "In" alone (English word == element symbol) is not rewritten
     assert rewrite_formula_tokens("In cubic form", {"In": "Tl"}) == \
         "In cubic form"
+    # decimal stoichiometry renames ATOMICALLY: '.' joins the run between
+    # alphanumerics, so the formula is not split at '.' and half-renamed
+    # ("Na0.5CoO2" was the old failure mode)
+    assert rewrite_formula_tokens(
+        "layered Li0.5CoO2 cathode", {"Li": "Na", "Co": "Rh", "O": "S"}) == \
+        "layered Na0.5RhS2 cathode"
+    # sentence-final '.' stays OUTSIDE the run
+    assert rewrite_formula_tokens(
+        "contains TiO2.", {"Ti": "Zr", "O": "S"}) == "contains ZrS2."
     m = symbol_mapping(np.array([20, 8, 8]), np.array([38, 8, 8]))
     assert m == {"Ca": "Sr"}
 
