@@ -37,27 +37,13 @@ def load_model():
 def generate_local(text, n_atoms, n_samples, progress,
                    comp=None, comp_mode="off", comp_scale=1.0,
                    lattice_sys=None):
+    from app.utils import build_local_sampling, pick_stream_chunk
+
     model = load_model()
     total = model.cfg.timesteps
-    chunk = SNAPSHOT_EVERY if total % SNAPSHOT_EVERY == 0 else 1
-    kw = {}
-    if comp and comp_mode == "CSP (clamp types)":
-        # integer-reduce exactly like sample_csp (fractional formulas would
-        # otherwise round elements away); Z chosen to fill up to n_atoms
-        from chemeleon_tpu.chem.composition import (parse_composition,
-                                                    reduced_composition)
-        from chemeleon_tpu.chem.elements import z_of
-        red = reduced_composition(parse_composition(comp))
-        unit = [z_of(el) for el, cnt in sorted(red.items())
-                for _ in range(int(cnt))]
-        types = unit * max(1, n_atoms // len(unit))
-        n_atoms = len(types)
-        kw["fixed_types"] = [types] * n_samples
-    elif comp and comp_mode == "prior (bias types)":
-        kw["comp_prior"] = [comp] * n_samples
-        kw["comp_prior_scale"] = comp_scale
-    if lattice_sys:
-        kw["lattice_system"] = lattice_sys
+    chunk = pick_stream_chunk(total, SNAPSHOT_EVERY)
+    kw, n_atoms = build_local_sampling(comp, comp_mode, comp_scale,
+                                       n_samples, lattice_sys, n_atoms)
     snapshots = []
     done = 0
     for crystals in model.sample_batch_stream(
@@ -71,17 +57,16 @@ def generate_local(text, n_atoms, n_samples, progress,
 
 
 def generate_remote(text, n_atoms, n_samples, progress):
+    from app.utils import remote_progress
     from chemeleon_tpu.serve.client import predict_stream
     # total timesteps are the server's cfg, unknown here; the first payload's
     # step is the remaining count, so use it as the denominator and clamp
     total = None
     snapshots = []
     for payload in predict_stream(SERVER_URL, text, n_atoms, n_samples):
-        step = payload.get("step", 0)
-        if total is None:
-            total = max(step, 1)
+        frac, total = remote_progress(payload.get("step", 0), total)
         snapshots.append([Crystal.from_dict(d) for d in payload["atoms"]])
-        progress.progress(min(max(1.0 - step / total, 0.0), 1.0))
+        progress.progress(frac)
     return snapshots
 
 
@@ -112,30 +97,28 @@ def main():
         st.info("Set a prompt and press Generate.")
         return
 
+    from app.utils import (COMP_MODE_CSP, COMP_MODE_PRIOR, csp_fill_z,
+                           route_generation)
+
     progress = st.progress(0.0)
+    route = route_generation(SERVER_URL, comp, comp_mode, lattice_sys)
     with st.spinner("Sampling..."):
-        if SERVER_URL and (lattice_sys or (comp and comp_mode != "off")):
+        if route == "server_generate":
             # /generate carries per-request priors, lattice clamps, AND the
             # CSP composition clamp (wire field fixed_comp — round-4
             # mixed-row sampler; non-streaming: one final snapshot)
             from chemeleon_tpu.serve.client import generate
-            prior = comp if comp and comp_mode == "prior (bias types)" \
-                else None
-            csp = comp if comp and comp_mode == "CSP (clamp types)" \
-                else None
-            fixed_z = 1
-            if csp:
-                # same Z rule as the local path: fill up to the n_atoms box
-                from chemeleon_tpu.chem.composition import \
-                    composition_to_types
-                fixed_z = max(1, n_atoms // len(composition_to_types(csp)))
+            prior = comp if comp and comp_mode == COMP_MODE_PRIOR else None
+            csp = comp if comp and comp_mode == COMP_MODE_CSP else None
+            # same Z rule as the local path: fill up to the n_atoms box
+            fixed_z = csp_fill_z(csp, n_atoms) if csp else 1
             snapshots = [generate(SERVER_URL, text, n_atoms, n_samples,
                                   comp_prior=prior,
                                   comp_prior_scale=comp_scale,
                                   lattice_system=lattice_sys,
                                   fixed_comp=csp, fixed_z=fixed_z)]
             progress.progress(1.0)
-        elif SERVER_URL:
+        elif route == "server_stream":
             snapshots = generate_remote(text, n_atoms, n_samples, progress)
         else:
             snapshots = generate_local(text, n_atoms, n_samples, progress,

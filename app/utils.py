@@ -167,3 +167,85 @@ def player_tick(step_idx, n_steps: int, playing: bool,
     if nxt >= last:
         return last, False  # reached the end: auto-pause
     return nxt, True
+
+
+# -- streamlit app view-model -------------------------------------------------
+# Pure logic extracted from streamlit_app.py (reference
+# app/streamlit_app.py:109-292) so the app's generation plumbing is testable
+# headless (round-5: the dash app had view-model tests, the streamlit one
+# did not). The UI layer is a thin wrapper over these.
+
+COMP_MODE_OFF = "off"
+COMP_MODE_PRIOR = "prior (bias types)"
+COMP_MODE_CSP = "CSP (clamp types)"
+
+
+def pick_stream_chunk(timesteps: int, snapshot_every: int = 100) -> int:
+    """Snapshot cadence for the progress bar: every ``snapshot_every`` steps
+    when that divides the schedule (sample_batch_stream requires chunk |
+    total), else every step."""
+    return snapshot_every if timesteps % snapshot_every == 0 else 1
+
+
+def csp_fill_types(comp: str, n_atoms: int):
+    """CSP clamp for the app's n_atoms box: integer-reduce ``comp`` exactly
+    like Chemeleon.sample_csp (fractional formulas would otherwise round
+    elements away) and tile Z formula units up to ``n_atoms``. Returns
+    (types, actual_n_atoms) — the actual count is the largest multiple of
+    the reduced unit that fits (>= one unit)."""
+    from chemeleon_tpu.chem.composition import (parse_composition,
+                                                reduced_composition)
+    from chemeleon_tpu.chem.elements import z_of
+
+    red = reduced_composition(parse_composition(comp))
+    unit = [z_of(el) for el, cnt in sorted(red.items())
+            for _ in range(int(cnt))]
+    types = unit * max(1, n_atoms // len(unit))
+    return types, len(types)
+
+
+def csp_fill_z(comp: str, n_atoms: int) -> int:
+    """The remote twin of csp_fill_types: the /generate wire carries
+    (fixed_comp, fixed_z), so send the same Z the local path would tile."""
+    from chemeleon_tpu.chem.composition import composition_to_types
+
+    return max(1, n_atoms // len(composition_to_types(comp)))
+
+
+def build_local_sampling(comp, comp_mode, comp_scale, n_samples, lattice_sys,
+                         n_atoms):
+    """(kwargs for sample_batch_stream, actual n_atoms) for the local path.
+    ``comp_mode`` in {COMP_MODE_OFF, COMP_MODE_PRIOR, COMP_MODE_CSP};
+    empty/None ``comp`` means unconditioned regardless of mode."""
+    kw = {}
+    if comp and comp_mode == COMP_MODE_CSP:
+        types, n_atoms = csp_fill_types(comp, n_atoms)
+        kw["fixed_types"] = [types] * n_samples
+    elif comp and comp_mode == COMP_MODE_PRIOR:
+        kw["comp_prior"] = [comp] * n_samples
+        kw["comp_prior_scale"] = comp_scale
+    if lattice_sys:
+        kw["lattice_system"] = lattice_sys
+    return kw, n_atoms
+
+
+def route_generation(server_url, comp, comp_mode, lattice_sys) -> str:
+    """Which backend path the app takes (streamlit_app.main dispatch):
+    'server_generate' — remote with per-request conditioning (the streaming
+    /predict wire has no conditioning fields); 'server_stream' — remote
+    unconditioned with live progress; 'local' — in-process model."""
+    if server_url and (lattice_sys or (comp and comp_mode != COMP_MODE_OFF)):
+        return "server_generate"
+    if server_url:
+        return "server_stream"
+    return "local"
+
+
+def remote_progress(step, total):
+    """Progress fraction from a /predict payload's remaining-step counter.
+    ``total`` is unknown until the first payload (the server's timesteps are
+    not on the wire) — pass total=None on the first call and reuse the
+    returned total after. Returns (fraction in [0, 1], total)."""
+    if total is None:
+        total = max(step, 1)
+    return min(max(1.0 - step / total, 0.0), 1.0), total

@@ -56,14 +56,20 @@ Examples:
               help="Few-step sampling: K < timesteps strided reverse steps "
                    "(~T/K faster — BENCH.md few-step table). 0 = full "
                    "schedule.")
+@click.option("--profile", default="validity", show_default=True,
+              type=click.Choice(["validity", "reference"]),
+              help="Corrector profile: 'validity' disables the Langevin "
+                   "corrector (+5-6 pts raw validity, results/"
+                   "step_lr_sweep.json); 'reference' keeps upstream "
+                   "step_lr=1e-5 parity.")
 def cli_navigate_chemical_system(elements, n_samples, max_stoich, max_natoms,
                                  max_factor, save_dir, csp, comp_prior_scale,
-                                 sample_steps):
+                                 sample_steps, profile):
     navigate_chemical_system(
         elements=elements.split(","), n_samples=n_samples,
         max_stoich=max_stoich, max_natoms=max_natoms, max_factor=max_factor,
         save_dir=save_dir, csp=csp, comp_prior_scale=comp_prior_scale,
-        sample_steps=sample_steps)
+        sample_steps=sample_steps, profile=profile)
 
 
 @cli.group(help="Commands related to sampling target compositions or prompts")
@@ -108,15 +114,21 @@ Examples:
                    "constraints every reverse step (e.g. cubic, hexagonal) "
                    "— exact lattice system by construction; composable "
                    "with --csp.")
+@click.option("--profile", default="validity", show_default=True,
+              type=click.Choice(["validity", "reference"]),
+              help="Corrector profile: 'validity' disables the Langevin "
+                   "corrector (+5-6 pts raw validity); 'reference' keeps "
+                   "upstream step_lr=1e-5 parity.")
 def cli_sample_target_composition(target_composition, n_samples, max_natoms,
                                   max_factor, save_dir, csp,
                                   comp_prior_scale, sample_steps,
-                                  lattice_system):
+                                  lattice_system, profile):
     sample_target_composition(
         target_composition=target_composition, n_samples=n_samples,
         max_natoms=max_natoms, max_factor=max_factor, save_dir=save_dir,
         csp=csp, comp_prior_scale=comp_prior_scale,
-        sample_steps=sample_steps, lattice_system=lattice_system)
+        sample_steps=sample_steps, lattice_system=lattice_system,
+        profile=profile)
 
 
 @sample.command(
@@ -146,11 +158,17 @@ Examples:
               help="Clamp the cell to this crystal system's metric "
                    "constraints every reverse step (exact lattice system "
                    "by construction).")
+@click.option("--profile", default="validity", show_default=True,
+              type=click.Choice(["validity", "reference"]),
+              help="Corrector profile: 'validity' disables the Langevin "
+                   "corrector (+5-6 pts raw validity); 'reference' keeps "
+                   "upstream step_lr=1e-5 parity.")
 def cli_sample_prompt(text_input, n_atoms, n_samples, save_dir,
-                      sample_steps, lattice_system):
+                      sample_steps, lattice_system, profile):
     sample_prompt(text_input=text_input, n_atoms=n_atoms,
                   n_samples=n_samples, save_dir=save_dir,
-                  sample_steps=sample_steps, lattice_system=lattice_system)
+                  sample_steps=sample_steps, lattice_system=lattice_system,
+                  profile=profile)
 
 
 @cli.command(name="evaluate",
@@ -186,16 +204,28 @@ def cli_sample_prompt(text_input, n_atoms, n_samples, save_dir,
               help="Clamp each row's lattice to its own (Niggli-canonical) "
                    "ground-truth cell — known-cell protocol; combine with "
                    "--csp for Rietveld-style coordinate-only diffusion.")
-@click.option("--step-lr", default=1e-5, show_default=True,
+@click.option("--step-lr", default=None, type=float,
               help="Langevin corrector strength (reference chemeleon.py:"
                    "452-462 default 1e-5). 0 disables the corrector noise "
                    "injections — measured +5-6 pts raw validity on the full "
-                   "chain (results/step_lr_sweep.json).")
+                   "chain (results/step_lr_sweep.json). Overrides "
+                   "--profile.")
+@click.option("--profile", default="reference", show_default=True,
+              type=click.Choice(["validity", "reference"]),
+              help="Corrector profile. The evaluate protocol defaults to "
+                   "'reference' (upstream step_lr=1e-5) so protocol numbers "
+                   "stay comparable with the reference; generation APIs "
+                   "default to 'validity'.")
 def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
                  max_rows, csp, pack_rows, cache_generation,
-                 comp_prior_scale, sample_steps, fixed_cell, step_lr):
+                 comp_prior_scale, sample_steps, fixed_cell, step_lr,
+                 profile):
     from chemeleon_tpu.eval.evaluate import test_evaluate
     from chemeleon_tpu.models.chemeleon import Chemeleon
+    from chemeleon_tpu.models.chemeleon import SAMPLING_PROFILES
+
+    if step_lr is None:
+        step_lr = SAMPLING_PROFILES[profile]["step_lr"]
 
     # .ckpt files are reference Lightning checkpoints (converted on the fly);
     # directories are this framework's orbax checkpoints

@@ -49,6 +49,37 @@ from chemeleon_tpu.utils.trajectory import TrajectoryContainer, TrajectoryStep
 # (reference chemeleon.py:70-73).
 MASK_LATTICE_MATRIX = np.array([[1, 0, 1], [1, 1, 1], [0, 0, 1]], np.float32)
 
+# -- sampling profiles --------------------------------------------------------
+# The Langevin corrector strength is a *deployment profile*, not physics: the
+# reference hard-codes step_lr=1e-5 (reference chemeleon.py:452-462, never
+# tuned upstream), but the round-4 (step_lr x corrector_noise) sweep measured
+# step_lr=0 (corrector off) at +5-6 pts raw validity on the full 1000-step
+# chain (results/step_lr_sweep.json, 3-seed confirm; bench corrector-off cell
+# 0.73 raw / 0.99 relaxed vs 0.61 / 0.97 at 1e-5). "validity" is therefore
+# the deployed default on every sampling API; "reference" opts back into
+# exact upstream parity (the evaluate protocol uses it for comparability).
+# step_lr is a traced scalar, so profiles share one compiled program.
+SAMPLING_PROFILES: Dict[str, Dict[str, float]] = {
+    "validity": {"step_lr": 0.0},
+    "reference": {"step_lr": 1e-5},
+}
+DEFAULT_PROFILE = "validity"
+
+
+def resolve_step_lr(step_lr: Optional[float],
+                    profile: Optional[str]) -> float:
+    """Corrector strength resolution: explicit ``step_lr`` wins, else the
+    named ``profile``, else ``DEFAULT_PROFILE``."""
+    if step_lr is not None:
+        return float(step_lr)
+    name = profile if profile is not None else DEFAULT_PROFILE
+    try:
+        return SAMPLING_PROFILES[name]["step_lr"]
+    except KeyError:
+        raise ValueError(
+            f"unknown sampling profile {name!r}; expected one of "
+            f"{sorted(SAMPLING_PROFILES)} (or pass step_lr explicitly)")
+
 
 @struct.dataclass
 class SamplerState:
@@ -733,7 +764,8 @@ class Chemeleon:
 
     def sample_batch(self, natoms: List[int],
                      texts: Optional[List[str]] = None,
-                     cond_scale: float = 2.0, step_lr: float = 1e-5,
+                     cond_scale: float = 2.0,
+                     step_lr: Optional[float] = None,
                      key: Optional[jax.Array] = None,
                      return_trajectory: bool = False,
                      n_max: Optional[int] = None,
@@ -743,7 +775,8 @@ class Chemeleon:
                      sample_steps: Optional[int] = None,
                      lattice_system=None,
                      corrector_noise: float = 1.0,
-                     fixed_lattice=None):
+                     fixed_lattice=None,
+                     profile: Optional[str] = None):
         """Batched sampling API (heals the reference's API skew — SURVEY §3.5:
         evaluate.py/dash_app.py call an older (natoms, texts) signature).
 
@@ -783,7 +816,13 @@ class Chemeleon:
         (canonicalized host-side to the training frame), so only
         coordinates (and types, unless ``fixed_types``) diffuse. The
         exact-cell sibling of ``lattice_system``; with ``fixed_types`` this
-        is Rietveld-style structure solution at a known cell."""
+        is Rietveld-style structure solution at a known cell.
+
+        ``profile`` / ``step_lr``: corrector strength. Default is the
+        ``"validity"`` profile (corrector off — measured +5-6 pts raw
+        validity, SAMPLING_PROFILES); ``profile="reference"`` restores the
+        upstream 1e-5; an explicit ``step_lr`` overrides both."""
+        step_lr = resolve_step_lr(step_lr, profile)
         cfg = self.cfg
         if sample_steps is None:
             sample_steps = cfg.sample_steps
@@ -919,7 +958,8 @@ class Chemeleon:
 
     def sampler_cost_analysis(self, natoms: List[int],
                               texts: Optional[List[str]] = None,
-                              cond_scale: float = 2.0, step_lr: float = 1e-5,
+                              cond_scale: float = 2.0,
+                              step_lr: Optional[float] = None,
                               key: Optional[jax.Array] = None,
                               ts_len: Optional[int] = None) -> dict:
         """XLA's own cost analysis (flops, bytes accessed, ...) of the
@@ -933,6 +973,7 @@ class Chemeleon:
         lets the caller lower a shorter scan (e.g. 1 step) and compare
         against the full program to calibrate that multiplier (bench.py
         `_scan_flops_multiplier`)."""
+        step_lr = resolve_step_lr(step_lr, None)
         cfg = self.cfg
         batch0, text_embeds, null_embeds, key = \
             self._prepare_sampling_inputs(natoms, texts, key)
@@ -949,16 +990,19 @@ class Chemeleon:
         return dict(ca) if ca else {}
 
     def sample(self, text_input: Optional[str], n_atoms: int, n_samples: int,
-               cond_scale: float = 2.0, step_lr: float = 1e-5,
+               cond_scale: float = 2.0, step_lr: Optional[float] = None,
                return_trajectory: bool = False, stream: bool = False,
                key: Optional[jax.Array] = None,
                stream_chunk: int = 100,
                sample_steps: Optional[int] = None,
-               lattice_system: Optional[str] = None):
+               lattice_system: Optional[str] = None,
+               profile: Optional[str] = None):
         """Reference-parity sampling API (chemeleon.py:469-490).
         ``lattice_system`` clamps the lattice to that system's metric
         constraints (sample_batch docstring); honored on both the batch
-        and streaming paths."""
+        and streaming paths. ``profile``/``step_lr`` as in sample_batch
+        (default = the "validity" profile, corrector off)."""
+        step_lr = resolve_step_lr(step_lr, profile)
         natoms = [n_atoms] * n_samples
         texts = [text_input] * n_samples if text_input is not None else None
         if stream:
@@ -975,17 +1019,20 @@ class Chemeleon:
         return result
 
     def sample_csp(self, composition: str, n_samples: int, z: int = 1,
-                   cond_scale: float = 2.0, step_lr: float = 1e-5,
+                   cond_scale: float = 2.0, step_lr: Optional[float] = None,
                    key: Optional[jax.Array] = None,
                    sample_steps: Optional[int] = None,
-                   lattice_system: Optional[str] = None):
+                   lattice_system: Optional[str] = None,
+                   profile: Optional[str] = None):
         """Crystal-structure-prediction sampling: atom types are fixed to
         ``z`` formula units of ``composition``; lattice + coords diffuse.
         Guarantees the exact composition by construction — the task CSPNet
         (DiffCSP) was designed for, exposed as a first-class mode the
         reference's filter-based composition workflow lacks.
         ``lattice_system`` additionally clamps the cell to that system's
-        metric constraints — composition AND lattice system both exact."""
+        metric constraints — composition AND lattice system both exact.
+        ``profile``/``step_lr`` as in sample_batch."""
+        step_lr = resolve_step_lr(step_lr, profile)
         from chemeleon_tpu.chem.composition import (
             parse_composition, reduced_composition,
             reduced_formula_alphabetical)
@@ -1003,20 +1050,23 @@ class Chemeleon:
 
     def sample_batch_stream(self, natoms: List[int],
                             texts: Optional[List[str]] = None,
-                            cond_scale: float = 2.0, step_lr: float = 1e-5,
+                            cond_scale: float = 2.0,
+                            step_lr: Optional[float] = None,
                             key: Optional[jax.Array] = None,
                             stream_chunk: int = 100,
                             fixed_types=None, comp_prior=None,
                             comp_prior_scale: float = 1.0,
                             sample_steps: Optional[int] = None,
-                            lattice_system=None):
+                            lattice_system=None,
+                            profile: Optional[str] = None):
         """Batched streaming: one compiled chunked scan over a MIXED batch,
         yielding the whole batch's crystals every ``stream_chunk`` steps.
         This is what lets a server coalesce N concurrent streams into one
         device program instead of N serialized scans (the reference scales
         streams with workers_per_device=4 instead, app/server.py:55-58).
         ``fixed_types``/``comp_prior``/``lattice_system`` as in
-        sample_batch."""
+        sample_batch; ``profile``/``step_lr`` too."""
+        step_lr = resolve_step_lr(step_lr, profile)
         return self._sample_stream(natoms, texts, cond_scale, step_lr, key,
                                    stream_chunk, fixed_types=fixed_types,
                                    comp_prior=comp_prior,

@@ -46,7 +46,8 @@ def navigate_chemical_system(elements: List[str] = ("Zn", "Ti", "O"),
                              save_dir: str = "results/navigate",
                              model=None, key=None, csp: bool = False,
                              comp_prior_scale: float = 0.0,
-                             sample_steps: int = 0) -> List[Crystal]:
+                             sample_steps: int = 0,
+                             profile: str = None) -> List[Crystal]:
     """``csp``/``comp_prior_scale`` mirror the composition workflow: clamp or
     bias atom types per enumerated formula (sample_target_composition.py
     docstring) — the navigate filter accepts any in-system composition, so
@@ -91,7 +92,7 @@ def navigate_chemical_system(elements: List[str] = ("Zn", "Ti", "O"),
                 gen_list = model.sample_csp(formula, n_samples=n_samples,
                                             z=f, key=key,
                                             sample_steps=sample_steps
-                                            or None)
+                                            or None, profile=profile)
             elif comp_prior_scale > 0:
                 gen_list = model.sample_batch(
                     [n_atoms] * n_samples,
@@ -99,11 +100,12 @@ def navigate_chemical_system(elements: List[str] = ("Zn", "Ti", "O"),
                      else None),
                     key=key, comp_prior=[formula] * n_samples,
                     comp_prior_scale=comp_prior_scale,
-                    sample_steps=sample_steps or None)
+                    sample_steps=sample_steps or None, profile=profile)
             else:
                 gen_list = model.sample(text_input=formula, n_atoms=n_atoms,
                                         n_samples=n_samples, key=key,
-                                        sample_steps=sample_steps or None)
+                                        sample_steps=sample_steps or None,
+                                        profile=profile)
             if gen_list is None:
                 continue
             for st in gen_list:

@@ -12,7 +12,7 @@ def sample_prompt(text_input: str = ("A Crystal structure of LiMnO4 with "
                   n_samples: int = 3, n_atoms: int = 6,
                   save_dir: str = "results/prompt", model=None,
                   key=None, sample_steps: int = 0,
-                  lattice_system: str = None):
+                  lattice_system: str = None, profile: str = None):
     from chemeleon_tpu.models.chemeleon import Chemeleon
 
     if model is None:
@@ -27,7 +27,8 @@ def sample_prompt(text_input: str = ("A Crystal structure of LiMnO4 with "
     gen_list = model.sample(text_input=text_input, n_atoms=n_atoms,
                             n_samples=n_samples, key=key,
                             sample_steps=sample_steps or None,
-                            lattice_system=lattice_system)
+                            lattice_system=lattice_system,
+                            profile=profile)
     if gen_list is None:
         print("Sampling failed")
         return None

@@ -27,7 +27,8 @@ def sample_target_composition(target_composition: str = "TiO2",
                               csp: bool = False,
                               comp_prior_scale: float = 0.0,
                               sample_steps: int = 0,
-                              lattice_system: str = None) -> List[Crystal]:
+                              lattice_system: str = None,
+                              profile: str = None) -> List[Crystal]:
     """``csp=True`` clamps atom types to the target composition (CSP mode,
     models/chemeleon.py sampler_step) so every sample passes the exact
     composition filter by construction; the text-guided default mirrors the
@@ -67,7 +68,8 @@ def sample_target_composition(target_composition: str = "TiO2",
             gen_list = model.sample_csp(comp, n_samples=n_samples, z=f,
                                         key=key,
                                         sample_steps=sample_steps or None,
-                                        lattice_system=lattice_system)
+                                        lattice_system=lattice_system,
+                                        profile=profile)
         elif comp_prior_scale > 0:
             gen_list = model.sample_batch(
                 [n_atoms] * n_samples,
@@ -75,12 +77,14 @@ def sample_target_composition(target_composition: str = "TiO2",
                 key=key, comp_prior=[comp] * n_samples,
                 comp_prior_scale=comp_prior_scale,
                 sample_steps=sample_steps or None,
-                lattice_system=lattice_system)
+                lattice_system=lattice_system,
+                profile=profile)
         else:
             gen_list = model.sample(text_input=comp, n_atoms=n_atoms,
                                     n_samples=n_samples, key=key,
                                     sample_steps=sample_steps or None,
-                                    lattice_system=lattice_system)
+                                    lattice_system=lattice_system,
+                                    profile=profile)
         if gen_list is None:
             continue
         for st in gen_list:

@@ -93,7 +93,7 @@ class ChemeleonServer:
     def __init__(self, model=None, host: str = "0.0.0.0", port: int = 8000,
                  stream_chunk: int = 100, model_kind: str = "general_text",
                  max_batch: int = 64, batch_window_s: float = 0.05,
-                 sample_steps: int = 0):
+                 sample_steps: int = 0, profile: str = "validity"):
         if model is None:
             from chemeleon_tpu.models.chemeleon import Chemeleon
             if model_kind == "general_text":
@@ -111,6 +111,11 @@ class ChemeleonServer:
         # per-request. ~timesteps/K throughput for a measured validity
         # cost (BENCH.md few-step table).
         self.sample_steps = int(sample_steps)
+        # deployment-wide corrector profile ("validity" = corrector off,
+        # +5-6 pts raw validity; "reference" = upstream step_lr=1e-5).
+        # Like sample_steps it is per-server: a coalesced batch shares one
+        # compiled program and one step_lr scalar.
+        self.profile = profile
         self._lock = threading.Lock()  # one compiled scan at a time
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._queue: "queue.Queue[_PendingRequest]" = queue.Queue()
@@ -216,7 +221,8 @@ class ChemeleonServer:
                                                     for s in lsys) else None),
                         fixed_types=(ftypes if any(t is not None
                                                    for t in ftypes)
-                                     else None))
+                                     else None),
+                        profile=self.profile)
                 self.batch_calls += 1
                 i = 0
                 for r in batch:
@@ -276,7 +282,8 @@ class ChemeleonServer:
                     lattice_system=(lsys if any(s is not None for s in lsys)
                                     else None),
                     fixed_types=(ftypes if any(t is not None for t in ftypes)
-                                 else None))
+                                 else None),
+                    profile=self.profile)
                 t = total_steps
                 while True:
                     # hold the device lock per CHUNK so /generate batches
@@ -570,11 +577,18 @@ def main():
                          "timesteps strided reverse steps per sample (~T/K "
                          "throughput, measured validity cost — BENCH.md); "
                          "0 = full schedule")
+    ap.add_argument("--profile", default="validity",
+                    choices=["validity", "reference"],
+                    help="corrector profile for the whole deployment: "
+                         "'validity' disables the Langevin corrector "
+                         "(+5-6 pts raw validity, results/step_lr_sweep"
+                         ".json); 'reference' keeps upstream step_lr=1e-5")
     args = ap.parse_args()
     ChemeleonServer(host=args.host, port=args.port,
                     stream_chunk=args.stream_chunk,
                     model_kind=args.model_kind,
-                    sample_steps=args.sample_steps).run(warmup=args.warmup)
+                    sample_steps=args.sample_steps,
+                    profile=args.profile).run(warmup=args.warmup)
 
 
 if __name__ == "__main__":
