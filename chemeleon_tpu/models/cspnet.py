@@ -91,7 +91,7 @@ class FilmLayer(nn.Module):
         scale, shift = jnp.split(cond_emb, 2, axis=-1)           # [B, H] each
         x_init = x
         x = nn.Dense(self.hidden_dim, name="proj", dtype=self.dtype)(x)
-        x = nn.LayerNorm(name="norm", dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=self.dtype)(x)
         x = x * scale[:, None, :] + shift[:, None, :]
         x = nn.silu(x)
         return x + x_init
@@ -139,7 +139,7 @@ class CSPLayer(nn.Module):
 
         node_input = node_features
         if self.ln:
-            node_features = nn.LayerNorm(name="layer_norm",
+            node_features = nn.LayerNorm(epsilon=1e-5, name="layer_norm",
                                          dtype=dt)(node_features)
 
         h = node_features.astype(dt)
@@ -345,7 +345,7 @@ class CSPNet(nn.Module):
                 neighbors=neighbors)
 
         if self.ln:
-            h = nn.LayerNorm(name="final_layer_norm", dtype=dt)(h)
+            h = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm", dtype=dt)(h)
 
         coord_out = nn.Dense(3, use_bias=False, name="coord_out", dtype=dt)(h)
 

@@ -47,8 +47,12 @@ class ProjectionMLP(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.in_dim, name="lin1", dtype=self.dtype)(x)
-        x = nn.LayerNorm(name="norm", dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=self.dtype)(x)
+        # exact erf GELU: torch nn.GELU() default (reference
+        # text_encoder.py:43, crystal_clip.py head) — flax's default is the
+        # tanh approximation, which costs ~1e-3 parity on converted
+        # reference checkpoints
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.out_dim, name="lin2", dtype=self.dtype)(x)
         return x
 

@@ -116,9 +116,19 @@ def load_pretrained(kind: str, text_backend: str = "auto",
                          f"one of {sorted(_KINDS)}")
     dft_path, dft_clip, url_key, clip_url_key = _KINDS[kind]
     path = Path(path_ckpt) if path_ckpt else dft_path
-    clip_path = Path(path_ckpt_clip) if path_ckpt_clip else dft_clip
+    # An explicit offline backend (e.g. text_backend="hash") with no explicit
+    # CLIP path means the caller wants THIS .ckpt standalone — don't fetch
+    # the companion figshare CLIP tower (it would fail in zero-egress
+    # environments before the model ever loads). "auto" keeps the
+    # reference's argument-free both-checkpoints behavior
+    # (reference chemeleon.py:97-135).
+    if path_ckpt_clip is None and text_backend not in ("auto",):
+        clip_path = None
+    else:
+        clip_path = Path(path_ckpt_clip) if path_ckpt_clip else dft_clip
     _ensure(path, url_key)
-    _ensure(clip_path, clip_url_key)
+    if clip_path is not None:
+        _ensure(clip_path, clip_url_key)
 
     cached = _load_converted(path)
     if cached is not None:

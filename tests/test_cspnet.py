@@ -47,7 +47,8 @@ def _gelu(x):  # unused here but kept for other oracles
     return x * norm.cdf(x)
 
 
-def _layernorm(x, scale, bias, eps=1e-6):
+def _layernorm(x, scale, bias, eps=1e-5):  # torch nn.LayerNorm default
+    #                                        (reference parity, round 5)
     mu = x.mean(-1, keepdims=True)
     var = ((x - mu) ** 2).mean(-1, keepdims=True)
     return (x - mu) / np.sqrt(var + eps) * scale + bias
