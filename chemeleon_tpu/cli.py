@@ -216,10 +216,14 @@ def cli_sample_prompt(text_input, n_atoms, n_samples, save_dir,
                    "'reference' (upstream step_lr=1e-5) so protocol numbers "
                    "stay comparable with the reference; generation APIs "
                    "default to 'validity'.")
+@click.option("--gen-only", is_flag=True, default=False,
+              help="Stop after the chip-bound generation phase (requires "
+                   "--cache-generation); score later on CPU with "
+                   "scripts/recompute_protocol.py.")
 def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
                  max_rows, csp, pack_rows, cache_generation,
                  comp_prior_scale, sample_steps, fixed_cell, step_lr,
-                 profile):
+                 profile, gen_only):
     from chemeleon_tpu.eval.evaluate import test_evaluate
     from chemeleon_tpu.models.chemeleon import Chemeleon
     from chemeleon_tpu.models.chemeleon import SAMPLING_PROFILES
@@ -236,7 +240,7 @@ def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
                   cache_generation=cache_generation,
                   comp_prior_scale=comp_prior_scale,
                   sample_steps=sample_steps, fixed_cell=fixed_cell,
-                  step_lr=step_lr)
+                  step_lr=step_lr, gen_only=gen_only)
 
 
 @cli.command(name="retrieval",

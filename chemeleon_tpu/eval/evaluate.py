@@ -173,7 +173,8 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
                   cache_generation: bool = False,
                   sample_steps: int = 0,
                   fixed_cell: bool = False,
-                  step_lr: float = 1e-5) -> Dict[str, float]:
+                  step_lr: float = 1e-5,
+                  gen_only: bool = False) -> Dict[str, float]:
     """Evaluate ``model`` (a Chemeleon with params loaded) on the test CSV.
 
     ``pack_rows`` > 1 batches several rows per compiled sampler call (same
@@ -183,7 +184,17 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
     save_path/gen_cache so an interrupted run resumes (re-invoke with the
     SAME test_data/n_samples/seed — chunks are keyed by position). Returns
     the mean metrics dict; writes results.csv under save_path.
+
+    ``gen_only`` (requires cache_generation) stops after the generation
+    phase: the chip-bound half of the protocol finishes and releases the
+    device, and the CPU-bound metric pass runs later from the cache via
+    scripts/recompute_protocol.py — the split that lets a 706x20 protocol
+    and a training run share one chip without ever running two TPU
+    clients concurrently.
     """
+    if gen_only and not cache_generation:
+        raise ValueError("gen_only without cache_generation would discard "
+                         "the generation — pass cache_generation=True")
     if csp and comp_prior_scale > 0:
         raise ValueError("csp and comp_prior_scale are mutually exclusive: "
                          "CSP clamps atom types, so a type prior has no "
@@ -219,6 +230,10 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
         comp_prior_scale=comp_prior_scale,
         cache_dir=Path(save_path) / "gen_cache" if cache_generation else None,
         sample_steps=sample_steps, fixed_cell=fixed_cell, step_lr=step_lr)
+    if gen_only:
+        print(f"gen_only: {len(generated)} rows cached under "
+              f"{save_path}/gen_cache; score with recompute_protocol")
+        return {}
 
     it = [(i, rows[i]) for i in sorted(parsed)]
     if progress:

@@ -1,0 +1,195 @@
+"""Pinned meta_stable protocol (round-5 VERDICT item 4).
+
+The reference defines meta_stable against a real MLFF (reference
+evaluate.py:207-220 + optimize.py:16-124). With the in-repo ionic surrogate
+the column was *finite but unstable* across round-4 evals (0.31 CSP / 0.036
+geo memo / 0.0 mp40_geo_eval / NaN free protocol) because three protocol
+knobs floated:
+
+  1. DENOMINATOR — free generation rarely reproduces the exact reference
+     composition, so ``num_same`` is 0-2 and per-row fractions are coin
+     flips (metrics.py:test_meta_stable divides by same-composition samples
+     only). PINNED: CSP mode (types clamped) => every valid sample is
+     same-composition; rows with < MIN_SAME valid samples are excluded.
+  2. RELAX DEPTH — raw samples sit above the surrogate's local minima by an
+     energy that depends on how far the sampler's last noise kick was from
+     a basin, so raw-vs-relaxed numbers are not comparable. PINNED: report
+     depth 0 AND the soft-sphere FIRE 60-step depth (the same post-step
+     bench.py and the reference's optimize.py use); the QUOTED number is
+     depth 60.
+  3. SAMPLE COUNT / ROW SET — 8-56 row subsamples with 8 samples/row gave
+     +-0.1 swings. PINNED: a fixed seeded 32-row set (natoms <= 20, seeded
+     shuffle of the created-at-ordered test split) x 16 samples, repeated
+     REPEATS times with different sampling keys for a variance statement.
+
+Also re-checks the surrogate at the pinned depth (VERDICT wording:
+"re-calibrate on relaxed-vs-perturbed pairs at that depth"): for each row,
+the ground-truth cell must score below its own coordinate-perturbed,
+FIRE-60-relaxed copy — the frac where that holds is the calibration cell
+(results/energy_calibration.json holds the full original calibration).
+
+Needs the chip for generation (3 x 32 x 16 samples); run it alone.
+
+Usage:
+  python -m chemeleon_tpu.scripts.probe_meta_stable \
+      --model logs/mp40_geo/checkpoints/best --out results/meta_stable_pinned.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+MIN_SAME = 5
+N_ROWS = 32
+N_SAMPLES = 16
+REPEATS = 3
+RELAX_STEPS = 60
+MAX_NATOMS = 20
+THRESHOLD = 0.1  # eV/atom (reference evaluate.py:216)
+
+
+def pick_rows(test_data: str):
+    import csv
+
+    from chemeleon_tpu.chem.cif import parse_cif
+
+    csv.field_size_limit(10 ** 9)
+    with open(test_data) as f:
+        rows = list(csv.DictReader(f))
+    rng = np.random.RandomState(0)
+    order = rng.permutation(len(rows))
+    picked = []
+    for i in order:
+        st = parse_cif(rows[i]["cif"])
+        if len(st) <= MAX_NATOMS:
+            picked.append((int(i), st))
+        if len(picked) >= N_ROWS:
+            break
+    return picked
+
+
+def meta_stable_cell(gen_lists, refs, calc, relax_steps: int):
+    """Mean over rows of (frac of valid same-composition samples within
+    THRESHOLD eV/atom of the reference energy), rows with < MIN_SAME
+    excluded. Returns (mean, n_rows_used, n_excluded)."""
+    from chemeleon_tpu.chem.validity import structure_validity
+    from chemeleon_tpu.eval.optimize import SoftSphereCalculator, fire_relax
+
+    ss = SoftSphereCalculator(radius_scale=0.6)
+    per_row = []
+    excluded = 0
+    for gen, ref in zip(gen_lists, refs):
+        ref_e = calc(ref)
+        vals = []
+        for st in gen:
+            # same valid-sample universe as the evaluate pipeline
+            # (evaluate.py: meta_stable is computed over M.test_valid);
+            # the relax depth only moves WHERE the energy is read
+            if st.composition != ref.composition:
+                continue
+            if not structure_validity(st):
+                continue
+            if relax_steps:
+                st, _ = fire_relax(st, ss, steps=relax_steps)
+            vals.append((calc(st) - ref_e) / len(st))
+        if len(vals) < MIN_SAME:
+            excluded += 1
+            continue
+        per_row.append(float(np.mean([d < THRESHOLD for d in vals])))
+    mean = float(np.mean(per_row)) if per_row else float("nan")
+    return mean, len(per_row), excluded
+
+
+def calibration_cell(refs, calc):
+    """Surrogate sanity at the pinned depth: ground truth should score at
+    or below its perturbed-then-FIRE-relaxed copy."""
+    from chemeleon_tpu.chem.structure import Crystal
+    from chemeleon_tpu.eval.optimize import SoftSphereCalculator, fire_relax
+
+    ss = SoftSphereCalculator(radius_scale=0.6)
+    rng = np.random.RandomState(1)
+    ok, diffs = 0, []
+    for ref in refs:
+        pert = Crystal(ref.lattice,
+                       (ref.frac_coords
+                        + 0.05 * rng.randn(*ref.frac_coords.shape)) % 1.0,
+                       ref.atom_types)
+        relaxed, _ = fire_relax(pert, ss, steps=RELAX_STEPS)
+        d = float((calc(relaxed) - calc(ref)) / len(ref))
+        diffs.append(d)
+        ok += int(d >= -1e-9)
+    return {"frac_gt_not_above_relaxed_perturbed": round(ok / len(refs), 4),
+            "median_dE_per_atom": float(np.median(diffs)),
+            "perturbation": "coord sigma=0.05 frac",
+            "relax": f"soft-sphere FIRE {RELAX_STEPS}"}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--test-data", default="data/mp-40/test.csv")
+    ap.add_argument("--out", default="results/meta_stable_pinned.json")
+    args = ap.parse_args()
+
+    import jax
+
+    from chemeleon_tpu.chem.energy import surrogate_calculator
+    from chemeleon_tpu.models.chemeleon import Chemeleon
+
+    model = Chemeleon.load_from_checkpoint(args.model)
+    calc = surrogate_calculator()
+    picked = pick_rows(args.test_data)
+    refs = [st for _, st in picked]
+    print(f"{len(picked)} fixed rows, natoms "
+          f"{min(len(r) for r in refs)}-{max(len(r) for r in refs)}")
+
+    out = {"protocol": {
+        "rows": N_ROWS, "samples_per_row": N_SAMPLES, "repeats": REPEATS,
+        "mode": "CSP (types clamped -> denominator = valid samples)",
+        "min_same": MIN_SAME, "relax": f"soft-sphere FIRE {RELAX_STEPS}",
+        "threshold_eV_per_atom": THRESHOLD,
+        "row_selection": "seed-0 shuffle of test.csv, natoms <= 20",
+        "model": args.model},
+        "repeats": []}
+    means = {0: [], RELAX_STEPS: []}
+    for rep in range(REPEATS):
+        gen_lists = []
+        for _, ref in picked:
+            # one sampler call per row: 16 CSP samples at the row's own
+            # composition (types clamped; lattice+coords diffuse)
+            crystals = model.sample_batch(
+                [len(ref)] * N_SAMPLES,
+                [ref.reduced_formula()] * N_SAMPLES
+                if model.cfg.text_guide else None,
+                fixed_types=[list(map(int, ref.atom_types))] * N_SAMPLES,
+                key=jax.random.PRNGKey(1000 * rep + len(gen_lists)))
+            gen_lists.append(crystals)
+        cell = {"seed": rep}
+        for depth in (0, RELAX_STEPS):
+            m, used, excl = meta_stable_cell(gen_lists, refs, calc, depth)
+            cell[f"meta_stable_relax{depth}"] = round(m, 4)
+            cell[f"rows_used_relax{depth}"] = used
+            cell[f"rows_excluded_relax{depth}"] = excl
+            means[depth].append(m)
+        out["repeats"].append(cell)
+        print(cell)
+
+    for depth, vals in means.items():
+        arr = np.asarray(vals, float)
+        out[f"mean_relax{depth}"] = round(float(arr.mean()), 4)
+        out[f"std_relax{depth}"] = round(float(arr.std(ddof=1)), 4)
+    out["quoted"] = {"value": out[f"mean_relax{RELAX_STEPS}"],
+                     "std_over_seeds": out[f"std_relax{RELAX_STEPS}"],
+                     "depth": RELAX_STEPS}
+    out["surrogate_calibration_at_depth"] = calibration_cell(refs, calc)
+    Path(args.out).write_text(json.dumps(out, indent=2))
+    print(json.dumps({k: v for k, v in out.items() if k != "repeats"},
+                     indent=2))
+
+
+if __name__ == "__main__":
+    main()
