@@ -209,7 +209,11 @@ def test_sharded_sampling_matches_single_device(eight_devices):
     model = Chemeleon(cfg, text_backend="hash")
     model.init_params(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(5)
-    single = model.sample_batch([6] * 8, ["TiO2"] * 8, key=key)
+    # pin step_lr to the raw run() call's literal below (the default is the
+    # validity profile since round 5; this test compares mechanisms, so
+    # both legs must take the same trajectory)
+    single = model.sample_batch([6] * 8, ["TiO2"] * 8, key=key,
+                                step_lr=1e-5)
 
     mesh = make_mesh((8, 1), devices=eight_devices)
     run = model._get_compiled_sampler(8, 8, False, None)
@@ -250,4 +254,7 @@ def test_mesh_sampling_uses_current_params(eight_devices):
                                      mesh=mesh)
     for a, b in zip(single, sharded):
         np.testing.assert_array_equal(a.atom_types, b.atom_types)
-        np.testing.assert_allclose(a.frac_coords, b.frac_coords, atol=1e-6)
+        # stale weights would differ at O(0.1); 5e-6 allows the CPU virtual
+        # mesh's fusion-order float noise (sharded vs single compile to
+        # different partitioned programs; measured up to ~2e-6)
+        np.testing.assert_allclose(a.frac_coords, b.frac_coords, atol=5e-6)
