@@ -91,13 +91,20 @@ def density_g_cm3(crystal) -> float:
 
 
 def _space_group(crystal) -> Optional[Dict[str, str]]:
-    """Full space-group identification needs pymatgen (the in-repo detector
-    stops at the crystal system; PARITY.md 'Known deviations')."""
+    """Space-group symbol/number with SpacegroupAnalyzer(symprec=0.1)
+    semantics (reference data_preparation.ipynb cell 14). pymatgen when
+    installed; otherwise the in-repo identifier (chem/spacegroup.py:
+    analytic op fingerprint + the mp-40-calibrated table — measured
+    agreement in results/spacegroup_calibration.json). Returns None only
+    when neither resolves, and the caller falls back to the input row's
+    existing columns."""
     try:
         from pymatgen.core import Structure
         from pymatgen.symmetry.analyzer import SpacegroupAnalyzer
     except ImportError:
-        return None
+        from chemeleon_tpu.chem.spacegroup import identify
+        out = identify(crystal, symprec=0.1)
+        return out if out["space_group_number"] else None
     st = Structure.from_str(crystal.to_cif(), fmt="cif")
     sg = SpacegroupAnalyzer(st, symprec=0.1)
     return {"space_group_symbol": sg.get_space_group_symbol(),

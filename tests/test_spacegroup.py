@@ -1,0 +1,145 @@
+"""Space-group identification: analytic fingerprint + calibrated table.
+
+Golden-tests the invariants that make chem/spacegroup.py trustworthy
+(reference parity target: SpacegroupAnalyzer.get_space_group_symbol/number
+at symprec 0.1 in data_preparation.ipynb cell 14): setting invariance,
+distinctness across textbook groups, enantiomorph separation, noise
+robustness, and the table lookup on groups present in mp-40.
+"""
+
+import numpy as np
+import pytest
+
+from chemeleon_tpu.chem.lattice import lattice_from_parameters
+from chemeleon_tpu.chem.spacegroup import fingerprint, identify, point_group
+from chemeleon_tpu.chem.structure import Crystal
+from chemeleon_tpu.chem.symmetry import (find_symmetry_operations,
+                                         primitive_structure)
+
+_FCC = [[0, 0, 0], [.5, .5, 0], [.5, 0, .5], [0, .5, .5]]
+
+
+def _rocksalt(a=5.64):
+    frac = _FCC + [[f[0] + .5, f[1] + .5, f[2] + .5] for f in _FCC]
+    return Crystal(np.eye(3) * a, frac, [11] * 4 + [17] * 4)
+
+
+def _rocksalt_primitive(a=5.64):
+    prim = np.array([[0, .5, .5], [.5, 0, .5], [.5, .5, 0]]) * a
+    return Crystal(prim, [[0, 0, 0], [.5, .5, .5]], [11, 17])
+
+
+def _diamond(a=3.567):
+    frac = _FCC + [[f[0] + .25, f[1] + .25, f[2] + .25] for f in _FCC]
+    return Crystal(np.eye(3) * a, frac, [6] * 8)
+
+
+def _cscl():
+    return Crystal(np.eye(3) * 4.11, [[0, 0, 0], [.5, .5, .5]], [55, 17])
+
+
+def _rutile():
+    u = 0.3053
+    return Crystal(
+        np.diag([4.594, 4.594, 2.959]),
+        [[0, 0, 0], [.5, .5, .5], [u, u, 0], [1 - u, 1 - u, 0],
+         [.5 + u, .5 - u, .5], [.5 - u, .5 + u, .5]],
+        [22, 22, 8, 8, 8, 8])
+
+
+def _wurtzite():
+    lat = lattice_from_parameters(3.82, 3.82, 6.26, 90, 90, 120)
+    return Crystal(lat, [[1 / 3, 2 / 3, 0], [2 / 3, 1 / 3, .5],
+                         [1 / 3, 2 / 3, .375], [2 / 3, 1 / 3, .875]],
+                   [30, 30, 16, 16])
+
+
+def _p41_screw(third_q=.25, first_q=.75):
+    # 4 equivalent atoms on a 4_1 (or 4_3, swapping the quarter heights)
+    # screw about c through the cell center
+    return Crystal(np.diag([5, 5, 8]),
+                   [[.3, .1, 0], [.9, .3, third_q], [.7, .9, .5],
+                    [.1, .7, first_q]], [14] * 4)
+
+
+def test_setting_invariance():
+    base = fingerprint(_rocksalt())
+    assert base is not None
+    assert fingerprint(_rocksalt_primitive()) == base
+
+    # arbitrary rigid rotation of the conventional cell
+    th = np.deg2rad(37.0)
+    k = np.array([1.0, 2.0, 3.0])
+    k /= np.linalg.norm(k)
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    R = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+    rock = _rocksalt()
+    rot = Crystal(rock.lattice @ R.T, rock.frac_coords, rock.atom_types)
+    assert fingerprint(rot) == base
+
+    # 2x1x1 supercell folds back through primitive_structure
+    frac = rock.frac_coords
+    sc = Crystal(np.diag([2 * 5.64, 5.64, 5.64]),
+                 np.concatenate([frac * [0.5, 1, 1],
+                                 frac * [0.5, 1, 1] + [0.5, 0, 0]]),
+                 np.concatenate([rock.atom_types] * 2))
+    assert fingerprint(sc) == base
+
+
+def test_known_groups_distinct():
+    fps = [fingerprint(c) for c in
+           (_rocksalt(), _cscl(), _diamond(), _rutile(), _wurtzite())]
+    assert all(f is not None for f in fps)
+    assert len(set(fps)) == len(fps)
+
+
+def test_enantiomorphs_distinct():
+    f41 = fingerprint(_p41_screw(.25, .75))
+    f43 = fingerprint(_p41_screw(.75, .25))
+    assert f41 is not None and f43 is not None
+    assert f41 != f43
+    # but both are the same tetragonal point group 4
+    assert f41.split("|")[:2] == f43.split("|")[:2] == ["tetragonal", "4"]
+
+
+def test_point_group_labels():
+    for make, pg in ((_rocksalt, "m-3m"), (_wurtzite, "6mm"),
+                     (_rutile, "4/mmm")):
+        c = make()
+        ops = find_symmetry_operations(primitive_structure(c), 0.1)
+        assert point_group(ops) == pg
+
+
+def test_noise_robustness():
+    rock = _rocksalt()
+    rng = np.random.RandomState(0)
+    noisy = Crystal(rock.lattice,
+                    rock.frac_coords + rng.normal(0, 0.01 / 5.64,
+                                                  rock.frac_coords.shape),
+                    rock.atom_types)
+    assert fingerprint(noisy) == fingerprint(rock)
+
+
+def test_identify_from_calibrated_table():
+    # groups all present in mp-40 (so in the committed table): rocksalt
+    # Fm-3m (225), CsCl-type Pm-3m (221), rutile P4_2/mnm (136)
+    for make, number, symbol in ((_rocksalt, "225", "Fm-3m"),
+                                 (_cscl, "221", "Pm-3m"),
+                                 (_rutile, "136", "P4_2/mnm")):
+        out = identify(make())
+        assert out["space_group_number"] == number, (symbol, out)
+        assert out["space_group_symbol"] == symbol
+
+
+def test_prepare_dataset_fills_space_group_offline():
+    pytest.importorskip("numpy")
+    try:
+        import pymatgen  # noqa: F401
+        pytest.skip("pymatgen present: offline path not exercised")
+    except ImportError:
+        pass
+    from chemeleon_tpu.scripts.prepare_dataset import property_columns
+    cols = property_columns(_rocksalt(), {})
+    assert cols["space_group_number"] == "225"
+    assert cols["space_group_symbol"] == "Fm-3m"
+    assert cols["crystal_system"] == "cubic"
