@@ -281,6 +281,12 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
         finite = arr[np.isfinite(arr)]
         means[f"mean_{k}"] = (float(finite.mean()) if len(finite)
                               else float("nan"))
+        # error bar on the headline (VERDICT r4 weak #4): stderr of the
+        # per-row values + the finite denominator it was computed over
+        means[f"stderr_{k}"] = (
+            float(finite.std(ddof=1) / np.sqrt(len(finite)))
+            if len(finite) > 1 else float("nan"))
+        means[f"n_{k}"] = int(len(finite))
 
     save = Path(save_path)
     save.mkdir(parents=True, exist_ok=True)
