@@ -220,10 +220,14 @@ def cli_sample_prompt(text_input, n_atoms, n_samples, save_dir,
               help="Stop after the chip-bound generation phase (requires "
                    "--cache-generation); score later on CPU with "
                    "scripts/recompute_protocol.py.")
+@click.option("--use-ema", is_flag=True, default=False,
+              help="Evaluate the EMA weights a cfg.ema_decay > 0 run saved "
+                   "alongside the raw params (long cosine schedules: the "
+                   "EMA val/loss can sit well below raw mid-run).")
 def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
                  max_rows, csp, pack_rows, cache_generation,
                  comp_prior_scale, sample_steps, fixed_cell, step_lr,
-                 profile, gen_only):
+                 profile, gen_only, use_ema):
     from chemeleon_tpu.eval.evaluate import test_evaluate
     from chemeleon_tpu.models.chemeleon import Chemeleon
     from chemeleon_tpu.models.chemeleon import SAMPLING_PROFILES
@@ -233,7 +237,7 @@ def cli_evaluate(model_path, test_data, n_samples, cond_scale, save_path,
 
     # .ckpt files are reference Lightning checkpoints (converted on the fly);
     # directories are this framework's orbax checkpoints
-    model = Chemeleon.load_from_checkpoint(model_path)
+    model = Chemeleon.load_from_checkpoint(model_path, use_ema=use_ema)
     test_evaluate(model, test_data=test_data, n_samples=n_samples,
                   cond_scale=cond_scale, save_path=save_path,
                   max_rows=max_rows, csp=csp, pack_rows=pack_rows,

@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--comp-prior-scale", type=float, default=0.0)
     ap.add_argument("--sample-steps", type=int, default=0)
     ap.add_argument("--max-rows", type=int, default=None)
+    ap.add_argument("--use-ema", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -35,7 +36,7 @@ def main():
     from chemeleon_tpu.eval.evaluate import test_evaluate
     from chemeleon_tpu.models.chemeleon import Chemeleon
 
-    model = Chemeleon.load_from_checkpoint(args.model)
+    model = Chemeleon.load_from_checkpoint(args.model, use_ema=args.use_ema)
     test_evaluate(model, test_data=args.test_data, n_samples=args.n_samples,
                   save_path=args.save_path, csp=args.csp,
                   comp_prior_scale=args.comp_prior_scale,

@@ -30,6 +30,33 @@ log() { echo "[r5_measure $(date +%H:%M:%S)] $*"; }
 
 FLAGSHIP="${FLAGSHIP:-logs/mp40_geo2/checkpoints/best}"
 
+# EMA_FLAG: pass --use-ema to every evaluate call when the run's final EMA
+# val/loss beats the raw one (long cosine schedules). Auto-detected from the
+# flagship's metrics.jsonl unless set explicitly (EMA_FLAG="" forces raw).
+ema_autoselect() {
+  if [ "${EMA_FLAG+x}" = "x" ]; then return 0; fi
+  EMA_FLAG=$(python - <<'EOF'
+import json
+best_raw = best_ema = float("inf")
+try:
+    with open("logs/mp40_geo2/metrics.jsonl") as f:
+        for line in f:
+            try:
+                d = json.loads(line)
+            except Exception:
+                continue
+            if "val/loss" in d:
+                best_raw = min(best_raw, d["val/loss"])
+            if "val/loss_ema" in d:
+                best_ema = min(best_ema, d["val/loss_ema"])
+except FileNotFoundError:
+    pass
+print("--use-ema" if best_ema < best_raw else "")
+EOF
+)
+  log "ema_autoselect: EMA_FLAG='${EMA_FLAG}'"
+}
+
 phase_wait() {
   for i in $(seq 1 60); do
     if timeout 110 python -c "import jax; print(jax.devices())" 2>/dev/null; then
@@ -80,9 +107,10 @@ EOF
 }
 
 phase_geo2memo() {
-  log "geo2 train-row memorization (CSP + fixed-cell, 80 x 20)"
+  ema_autoselect
+  log "geo2 train-row memorization (CSP + fixed-cell, 80 x 20, ${EMA_FLAG:-raw})"
   timeout 7200 python -m chemeleon_tpu.cli evaluate \
-    -m logs/mp40_geo2/checkpoints/best \
+    -m logs/mp40_geo2/checkpoints/best $EMA_FLAG \
     --test-data .data_cache/mp40-smoke/train.csv --n-samples 20 \
     --max-rows 80 --csp --fixed-cell \
     --cache-generation --save-path results/geo2_memo_cell \
@@ -96,9 +124,10 @@ phase_geo2memo() {
 }
 
 phase_geo2eval() {
-  log "geo2 held-out eval (56 x 8, mp40_geo_eval-comparable)"
+  ema_autoselect
+  log "geo2 held-out eval (56 x 8, mp40_geo_eval-comparable, ${EMA_FLAG:-raw})"
   timeout 7200 python -m chemeleon_tpu.cli evaluate \
-    -m logs/mp40_geo2/checkpoints/best \
+    -m logs/mp40_geo2/checkpoints/best $EMA_FLAG \
     --test-data .data_cache/mp40-smoke/test.csv --n-samples 8 \
     --cache-generation --save-path results/mp40_geo2_eval \
     > /tmp/geo2eval.log 2>&1
@@ -139,16 +168,17 @@ phase_dualeval() {
 }
 
 phase_heldout20() {
-  log "flagship held-out x 20: test split"
+  ema_autoselect
+  log "flagship held-out x 20: test split (${EMA_FLAG:-raw})"
   timeout 10800 python -m chemeleon_tpu.cli evaluate \
-    -m "$FLAGSHIP" \
+    -m "$FLAGSHIP" $EMA_FLAG \
     --test-data .data_cache/mp40-smoke/test.csv --n-samples 20 \
     --cache-generation --save-path results/heldout_test20 \
     > /tmp/heldout20.log 2>&1
   log "test exit=$?"; tail -4 /tmp/heldout20.log
   log "flagship held-out x 20: val split"
   timeout 10800 python -m chemeleon_tpu.cli evaluate \
-    -m "$FLAGSHIP" \
+    -m "$FLAGSHIP" $EMA_FLAG \
     --test-data .data_cache/mp40-smoke/val.csv --n-samples 20 \
     --cache-generation --save-path results/heldout_val20 \
     >> /tmp/heldout20.log 2>&1
@@ -158,9 +188,10 @@ phase_heldout20() {
 phase_fullproto() {
   # chip-bound half only: generate + cache, then release the device; the
   # CPU metric pass runs from the cache (phase fullscore / recompute)
-  log "full 706 x 20 protocol GENERATION on $FLAGSHIP"
+  ema_autoselect
+  log "full 706 x 20 protocol GENERATION on $FLAGSHIP (${EMA_FLAG:-raw})"
   timeout 21600 python -m chemeleon_tpu.cli evaluate \
-    -m "$FLAGSHIP" \
+    -m "$FLAGSHIP" $EMA_FLAG \
     --n-samples 20 --cache-generation --gen-only \
     --save-path results/full_protocol_geo2 \
     > /tmp/fullproto_r5.log 2>&1
@@ -169,9 +200,10 @@ phase_fullproto() {
 
 phase_fullscore() {
   # CPU-pinned: safe to run while a TPU job owns the chip
-  log "full protocol CPU scoring from cache"
+  ema_autoselect
+  log "full protocol CPU scoring from cache (${EMA_FLAG:-raw})"
   timeout 43200 python -m chemeleon_tpu.scripts.recompute_protocol \
-    --model "$FLAGSHIP" --n-samples 20 \
+    --model "$FLAGSHIP" --n-samples 20 $EMA_FLAG \
     --save-path results/full_protocol_geo2 \
     > /tmp/fullscore_r5.log 2>&1
   log "fullscore exit=$?"; tail -4 /tmp/fullscore_r5.log
