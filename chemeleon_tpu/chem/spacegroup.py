@@ -305,26 +305,6 @@ def _centering_set(prim: np.ndarray, conv: np.ndarray) -> List[np.ndarray]:
     return [np.asarray(p, np.float64) / _DENOM for p in sorted(pts)]
 
 
-_CENTERING_NAME = {
-    frozenset([(0, 0, 0)]): "P",
-    frozenset([(0, 0, 0), (6, 6, 6)]): "I",
-    frozenset([(0, 0, 0), (6, 6, 0)]): "C",
-    frozenset([(0, 0, 0), (0, 6, 6)]): "A",
-    frozenset([(0, 0, 0), (6, 0, 6)]): "B",
-    frozenset([(0, 0, 0), (0, 6, 6), (6, 0, 6), (6, 6, 0)]): "F",
-    frozenset([(0, 0, 0), (8, 4, 4), (4, 8, 8)]): "R",
-    frozenset([(0, 0, 0), (4, 8, 4), (8, 4, 8)]): "R",
-    frozenset([(0, 0, 0), (4, 4, 8), (8, 8, 4)]): "R",
-    frozenset([(0, 0, 0), (8, 8, 8), (4, 4, 4)]): "R",
-}
-
-
-def _centering_letter(cset: List[np.ndarray]) -> str:
-    key = frozenset(tuple(int(round(x * _DENOM)) % _DENOM for x in f)
-                    for f in cset)
-    return _CENTERING_NAME.get(key, f"Z{len(cset)}")
-
-
 def _intrinsic_translation(W: np.ndarray, w: np.ndarray) -> np.ndarray:
     """Origin-independent part of the translation of (W, w): the average of
     w over the cyclic group of W. Fractional, NOT yet reduced mod 1."""

@@ -131,6 +131,18 @@ def test_identify_from_calibrated_table():
         assert out["space_group_symbol"] == symbol
 
 
+def test_identify_unknown_returns_empty():
+    # a group absent from mp-40's 102 calibrated groups: P4_3 via the screw
+    # cell above — identify must return the empty pass-through, not a guess
+    out = identify(_p41_screw(.75, .25))
+    if out["space_group_number"]:
+        # only acceptable if mp-40 actually contains the group (it doesn't
+        # today; guard keeps the test honest if the table ever grows)
+        assert out["space_group_number"] in ("76", "78")
+    else:
+        assert out == {"space_group_symbol": "", "space_group_number": ""}
+
+
 def test_prepare_dataset_fills_space_group_offline():
     pytest.importorskip("numpy")
     try:
