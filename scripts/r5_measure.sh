@@ -4,6 +4,7 @@
 # serially: bash scripts/r5_measure.sh <phase> [phase ...]
 #
 #   wait        - block until the TPU tunnel answers (up to ~2 h)
+#   geo2train   - launch the 3000-epoch mp40_geo2 run (resilient, resumable)
 #   geo2wait    - block until the mp40_geo2 3000-epoch run reaches its
 #                 final epoch (polls metrics.jsonl; +grace for the last save)
 #   geo2memo    - train-row memorization eval for geo2 (CSP + fixed-cell,
@@ -104,6 +105,24 @@ EOF
     sleep 120
   done
   log "geo2 never finished"; return 1
+}
+
+phase_geo2train() {
+  # VERDICT-r4 item 1: continue the mp40_geo recipe to 3000 epochs with the
+  # widened Z=3 supercell augmentation. Recorded here so a host reset can
+  # replay the exact run (round 5 lost the first attempt to one).
+  log "mp40_geo2 train start (3000 ep, sub 0.5 x supercell z3 x lat 0.03)"
+  timeout 17000 python -m chemeleon_tpu.scripts.train_resilient --retries 5 \
+    --ckpt "logs/mp40_geo2/checkpoints/last" \
+    "--resume-flag=--resume-from=" -- \
+    python -m chemeleon_tpu.scripts.smoke_train \
+      --exp-name mp40_geo2 --preset chemeleon_composition \
+      --hidden 512 --layers 6 --batch 64 --lr 5e-4 --scheduler cosine \
+      --epochs 3000 --ckpt-every 50 --ema-decay 0.999 --watchdog 1200 \
+      --aug-sub 0.5 --aug-supercell --aug-supercell-z 3 --aug-lat 0.03 \
+      --eval-rows 0 --eval-samples 0 \
+    > /tmp/geo2train.log 2>&1
+  log "geo2train exit=$?"; tail -3 /tmp/geo2train.log
 }
 
 phase_geo2memo() {
