@@ -183,7 +183,10 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
     ``cache_generation`` persists generated chunks under
     save_path/gen_cache so an interrupted run resumes (re-invoke with the
     SAME test_data/n_samples/seed — chunks are keyed by position). Returns
-    the mean metrics dict; writes results.csv under save_path.
+    the mean metrics dict; writes results.csv under save_path. The CPU
+    scoring pass checkpoints per-row metrics to save_path/scores.jsonl and
+    resumes from it; delete that file (or recompute_protocol --rescore)
+    after changing a metric definition.
 
     ``gen_only`` (requires cache_generation) stops after the generation
     phase: the chip-bound half of the protocol finishes and releases the
@@ -235,6 +238,29 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
               f"{save_path}/gen_cache; score with recompute_protocol")
         return {}
 
+    # Incremental scoring checkpoint: the CPU metric pass over a 706x20
+    # protocol (FIRE relaxations inside test_meta_stable) can take hours on
+    # a small host — persist each row's metrics as scored so a timeout or
+    # interruption resumes instead of discarding the pass (the generation
+    # half is already resumable via gen_cache). Keyed by row position +
+    # material_id; same invariants as the gen cache (same
+    # test_data/n_samples/seed).
+    save = Path(save_path)
+    save.mkdir(parents=True, exist_ok=True)
+    scores_path = save / "scores.jsonl"
+    scored: Dict[int, dict] = {}
+    if scores_path.exists():
+        with open(scores_path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:  # torn tail write
+                    continue
+                scored[int(rec["i"])] = rec
+        if scored:
+            print(f"Resuming scoring: {len(scored)} rows already in "
+                  f"{scores_path}")
+
     it = [(i, rows[i]) for i in sorted(parsed)]
     if progress:
         try:
@@ -244,32 +270,44 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
             pass
     for i, row in it:
         try:
-            test_st, text = parsed[i]
-            natoms = len(test_st)
-            gen_list = generated[i]
+            rec = scored.get(i)
+            if rec is None:
+                test_st, text = parsed[i]
+                natoms = len(test_st)
+                gen_list = generated[i]
 
-            valid = M.test_valid(gen_list)
-            if not valid:
-                print("No valid samples generated.")
+                valid = M.test_valid(gen_list)
+                if not valid:
+                    print("No valid samples generated.")
+                    rec = {"i": i, "empty": True}
+                else:
+                    num_unique = M.test_unique(valid)
+                    num_match = M.test_structure_matching(valid, test_st)
+                    meta_stable = M.test_meta_stable(valid, test_st,
+                                                     calculator)
+                    num_comp = M.test_composition_matching(valid, test_st)
+                    num_cs = M.test_crystal_system_matching(valid, test_st)
+                    num_ls = M.test_lattice_system_matching(valid, test_st)
+                    rec = {
+                        "i": i,
+                        "material_id": row.get("material_id", str(i)),
+                        "natoms": natoms,
+                        "valid_samples": len(valid) / len(gen_list),
+                        "unique": num_unique / len(valid),
+                        "structure_matching": bool(num_match > 0),
+                        "structure_matching_ratio": num_match / len(valid),
+                        "meta_stable": meta_stable,
+                        "composition_matching": num_comp / len(valid),
+                        "crystal_system_matching": num_cs / len(valid),
+                        "lattice_system_matching": num_ls / len(valid),
+                    }
+                with open(scores_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+            if rec.get("empty"):
                 continue
-            num_unique = M.test_unique(valid)
-            num_match = M.test_structure_matching(valid, test_st)
-            meta_stable = M.test_meta_stable(valid, test_st, calculator)
-            num_comp = M.test_composition_matching(valid, test_st)
-            num_cs = M.test_crystal_system_matching(valid, test_st)
-            num_ls = M.test_lattice_system_matching(valid, test_st)
-
-            collections["material_id"].append(row.get("material_id", str(i)))
-            collections["natoms"].append(natoms)
-            collections["valid_samples"].append(len(valid) / len(gen_list))
-            collections["unique"].append(num_unique / len(valid))
-            collections["structure_matching"].append(num_match > 0)
-            collections["structure_matching_ratio"].append(
-                num_match / len(valid))
-            collections["meta_stable"].append(meta_stable)
-            collections["composition_matching"].append(num_comp / len(valid))
-            collections["crystal_system_matching"].append(num_cs / len(valid))
-            collections["lattice_system_matching"].append(num_ls / len(valid))
+            for k, v in rec.items():
+                if k not in ("i", "empty"):
+                    collections[k].append(v)
         except Exception as e:  # per-row fault tolerance (evaluate.py:151-152)
             print(f"Error: {e}")
 
@@ -288,8 +326,6 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
             if len(finite) > 1 else float("nan"))
         means[f"n_{k}"] = int(len(finite))
 
-    save = Path(save_path)
-    save.mkdir(parents=True, exist_ok=True)
     keys = [k for k in collections if collections[k]]
     with open(save / "results.csv", "w", newline="") as f:
         w = csv.writer(f)

@@ -28,7 +28,18 @@ def main():
     ap.add_argument("--sample-steps", type=int, default=0)
     ap.add_argument("--max-rows", type=int, default=None)
     ap.add_argument("--use-ema", action="store_true")
+    ap.add_argument("--rescore", action="store_true",
+                    help="drop the incremental scoring checkpoint "
+                         "(scores.jsonl) so changed metric definitions "
+                         "re-score every row instead of resuming")
     args = ap.parse_args()
+
+    if args.rescore:
+        from pathlib import Path
+        sp = Path(args.save_path) / "scores.jsonl"
+        if sp.exists():
+            sp.unlink()
+            print(f"--rescore: removed {sp}")
 
     import jax
     jax.config.update("jax_platforms", "cpu")

@@ -114,6 +114,60 @@ def test_evaluate_end_to_end(model, tmp_path, monkeypatch):
     assert 0.0 <= means["mean_valid_samples"] <= 1.0
 
 
+def test_evaluate_scoring_resume(model, tmp_path, monkeypatch):
+    """The CPU scoring pass checkpoints per-row metrics to scores.jsonl:
+    a re-invocation must reuse them (no re-scoring) and reproduce the same
+    means; deleting the file forces a fresh score."""
+    from chemeleon_tpu.eval import evaluate as ev
+    from chemeleon_tpu.eval.evaluate import test_evaluate
+    monkeypatch.setattr(ev.M, "test_valid", lambda lst: list(lst))
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(2):
+        n = int(rng.integers(3, 6))
+        c = Crystal(lattice_from_parameters(4, 5, 6, 90, 90, 90),
+                    rng.uniform(size=(n, 3)), rng.integers(1, 20, n))
+        rows.append({"material_id": f"mp-{i}", "cif": write_cif(c),
+                     "composition": c.reduced_formula()})
+    path = tmp_path / "test.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["material_id", "cif", "composition"])
+        w.writeheader()
+        w.writerows(rows)
+
+    save = tmp_path / "res"
+    means1 = test_evaluate(model, test_data=path, n_samples=2,
+                           save_path=str(save), progress=False,
+                           cache_generation=True)
+    scores = save / "scores.jsonl"
+    assert scores.exists()
+    assert len(scores.read_text().splitlines()) == 2
+
+    calls = []
+    orig = ev.M.test_structure_matching
+    monkeypatch.setattr(ev.M, "test_structure_matching",
+                        lambda *a, **kw: calls.append(1) or orig(*a, **kw))
+    means2 = test_evaluate(model, test_data=path, n_samples=2,
+                           save_path=str(save), progress=False,
+                           cache_generation=True)
+    assert not calls  # every row resumed from the checkpoint
+
+    def same(a, b):
+        assert a.keys() == b.keys()
+        for k in a:
+            x, y = a[k], b[k]
+            assert x == y or (x != x and y != y), (k, x, y)  # NaN == NaN
+
+    same(means2, means1)
+
+    scores.unlink()
+    means3 = test_evaluate(model, test_data=path, n_samples=2,
+                           save_path=str(save), progress=False,
+                           cache_generation=True)
+    assert calls  # fresh scoring actually ran
+    same(means3, means1)
+
+
 def test_evaluate_step_lr_knob(model, tmp_path, monkeypatch):
     """step_lr reaches sample_batch and non-default values get their own
     generation-cache tag (a corrector-off cache must never be served to a
