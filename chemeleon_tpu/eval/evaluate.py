@@ -174,7 +174,8 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
                   sample_steps: int = 0,
                   fixed_cell: bool = False,
                   step_lr: float = 1e-5,
-                  gen_only: bool = False) -> Dict[str, float]:
+                  gen_only: bool = False,
+                  score_ids: Optional[set] = None) -> Dict[str, float]:
     """Evaluate ``model`` (a Chemeleon with params loaded) on the test CSV.
 
     ``pack_rows`` > 1 batches several rows per compiled sampler call (same
@@ -187,6 +188,12 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
     scoring pass checkpoints per-row metrics to save_path/scores.jsonl and
     resumes from it; delete that file (or recompute_protocol --rescore)
     after changing a metric definition.
+
+    ``score_ids`` (a set of material_ids) scores only those rows this
+    invocation — generation and cache keying are untouched (still
+    positional over the full row list), so a later unfiltered run resumes
+    from scores.jsonl and fills in the rest. Lets the held-out subset of a
+    706-row protocol be scored first on a slow host.
 
     ``gen_only`` (requires cache_generation) stops after the generation
     phase: the chip-bound half of the protocol finishes and releases the
@@ -271,6 +278,9 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
     for i, row in it:
         try:
             rec = scored.get(i)
+            if (rec is None and score_ids is not None
+                    and row.get("material_id", str(i)) not in score_ids):
+                continue
             if rec is None:
                 test_st, text = parsed[i]
                 natoms = len(test_st)

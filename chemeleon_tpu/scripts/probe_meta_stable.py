@@ -133,19 +133,33 @@ def main():
     ap.add_argument("--model", required=True)
     ap.add_argument("--test-data", default="data/mp-40/test.csv")
     ap.add_argument("--out", default="results/meta_stable_pinned.json")
+    ap.add_argument("--stage", choices=("gen", "score", "all"), default="all",
+                    help="'gen' samples on the chip, caches crystals next to "
+                         "--out, and exits (frees the device); 'score' runs "
+                         "the CPU-bound FIRE/energy pass from that cache "
+                         "(pins jax to CPU, safe beside a TPU job)")
     args = ap.parse_args()
 
     import jax
 
+    if args.stage == "score":
+        # CPU-pinned: the scoring half must never open a TPU client while
+        # another chip job runs (CLAUDE.md: two clients contend)
+        jax.config.update("jax_platforms", "cpu")
+
     from chemeleon_tpu.chem.energy import surrogate_calculator
+    from chemeleon_tpu.eval.evaluate import _load_gen_chunk, _save_gen_chunk
     from chemeleon_tpu.models.chemeleon import Chemeleon
 
-    model = Chemeleon.load_from_checkpoint(args.model)
     calc = surrogate_calculator()
     picked = pick_rows(args.test_data)
     refs = [st for _, st in picked]
     print(f"{len(picked)} fixed rows, natoms "
           f"{min(len(r) for r in refs)}-{max(len(r) for r in refs)}")
+    cache = Path(args.out).with_suffix(".gencache")
+
+    if args.stage != "score":
+        model = Chemeleon.load_from_checkpoint(args.model)
 
     out = {"protocol": {
         "rows": N_ROWS, "samples_per_row": N_SAMPLES, "repeats": REPEATS,
@@ -156,18 +170,33 @@ def main():
         "model": args.model},
         "repeats": []}
     means = {0: [], RELAX_STEPS: []}
+    # the chip-bound generation half and the CPU-bound FIRE/energy half are
+    # staged through an npz cache (one chunk per repeat x row, resumable),
+    # so 'gen' can release the device before 'score' starts
+    if args.stage != "score":
+        cache.mkdir(parents=True, exist_ok=True)
+        for rep in range(REPEATS):
+            for r, (_, ref) in enumerate(picked):
+                cpath = cache / f"rep{rep}_row{r}.npz"
+                if cpath.exists():
+                    continue
+                # one sampler call per row: 16 CSP samples at the row's own
+                # composition (types clamped; lattice+coords diffuse)
+                crystals = model.sample_batch(
+                    [len(ref)] * N_SAMPLES,
+                    [ref.reduced_formula()] * N_SAMPLES
+                    if model.cfg.text_guide else None,
+                    fixed_types=[list(map(int, ref.atom_types))] * N_SAMPLES,
+                    key=jax.random.PRNGKey(1000 * rep + r))
+                _save_gen_chunk(cpath, crystals)
+            print(f"generation repeat {rep} done")
+        if args.stage == "gen":
+            print(f"gen stage done: cache at {cache}")
+            return
+
     for rep in range(REPEATS):
-        gen_lists = []
-        for _, ref in picked:
-            # one sampler call per row: 16 CSP samples at the row's own
-            # composition (types clamped; lattice+coords diffuse)
-            crystals = model.sample_batch(
-                [len(ref)] * N_SAMPLES,
-                [ref.reduced_formula()] * N_SAMPLES
-                if model.cfg.text_guide else None,
-                fixed_types=[list(map(int, ref.atom_types))] * N_SAMPLES,
-                key=jax.random.PRNGKey(1000 * rep + len(gen_lists)))
-            gen_lists.append(crystals)
+        gen_lists = [_load_gen_chunk(cache / f"rep{rep}_row{r}.npz")
+                     for r in range(len(picked))]
         cell = {"seed": rep}
         for depth in (0, RELAX_STEPS):
             m, used, excl = meta_stable_cell(gen_lists, refs, calc, depth)

@@ -32,7 +32,23 @@ def main():
                     help="drop the incremental scoring checkpoint "
                          "(scores.jsonl) so changed metric definitions "
                          "re-score every row instead of resuming")
+    ap.add_argument("--only-split", nargs="+", default=None,
+                    help="CSV path(s); score only rows whose material_id "
+                         "appears in them (e.g. the held-out val/test "
+                         "splits) — a later unfiltered run resumes from "
+                         "scores.jsonl and fills in the rest")
     args = ap.parse_args()
+
+    score_ids = None
+    if args.only_split:
+        import csv
+        csv.field_size_limit(10 ** 9)
+        score_ids = set()
+        for path in args.only_split:
+            with open(path) as f:
+                for row in csv.DictReader(f):
+                    score_ids.add(row["material_id"])
+        print(f"--only-split: scoring {len(score_ids)} material_ids first")
 
     if args.rescore:
         from pathlib import Path
@@ -52,7 +68,8 @@ def main():
                   save_path=args.save_path, csp=args.csp,
                   comp_prior_scale=args.comp_prior_scale,
                   sample_steps=args.sample_steps, max_rows=args.max_rows,
-                  cache_generation=True, fixed_cell=args.fixed_cell)
+                  cache_generation=True, fixed_cell=args.fixed_cell,
+                  score_ids=score_ids)
 
 
 if __name__ == "__main__":

@@ -107,3 +107,38 @@ def test_probe_knn_smoke():
                            hidden_dim=32, num_layers=1, num_freqs=8,
                            time_dim=16, text_dim=32, text_embed_dim=32)
         assert sps > 0
+
+
+def test_probe_meta_stable_staged_smoke(comp_model, tmp_path, monkeypatch):
+    """probe_meta_stable's gen/score split: 'gen' must cache crystals and
+    stop before any energy work; 'score' must rebuild the full report from
+    the cache alone (no sampler, no checkpoint load)."""
+    import sys
+
+    import chemeleon_tpu.scripts.probe_meta_stable as pm
+
+    monkeypatch.setattr(pm, "N_ROWS", 2)
+    monkeypatch.setattr(pm, "N_SAMPLES", 2)
+    monkeypatch.setattr(pm, "REPEATS", 2)
+    monkeypatch.setattr(pm, "RELAX_STEPS", 3)
+    monkeypatch.setattr(pm, "MIN_SAME", 1)
+    from chemeleon_tpu.models.chemeleon import Chemeleon as C
+    monkeypatch.setattr(C, "load_from_checkpoint",
+                        classmethod(lambda cls, *a, **kw: comp_model))
+    out = tmp_path / "pinned.json"
+    argv = ["probe_meta_stable", "--model", "ignored",
+            "--test-data", "data/mp-40/test.csv", "--out", str(out)]
+
+    monkeypatch.setattr(sys, "argv", argv + ["--stage", "gen"])
+    pm.main()
+    cache = out.with_suffix(".gencache")
+    assert len(list(cache.glob("rep*_row*.npz"))) == 4  # 2 reps x 2 rows
+    assert not out.exists()  # gen stage stops before scoring
+
+    monkeypatch.setattr(sys, "argv", argv + ["--stage", "score"])
+    pm.main()
+    import json
+    rep = json.loads(out.read_text())
+    assert rep["quoted"]["depth"] == 3
+    assert len(rep["repeats"]) == 2
+    assert "surrogate_calibration_at_depth" in rep
