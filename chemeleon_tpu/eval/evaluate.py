@@ -74,7 +74,7 @@ def _packed_generate(model, parsed, n_samples, cond_scale, key,
                      comp_prior_scale: float = 0.0,
                      cache_dir: Optional[Path] = None,
                      sample_steps: int = 0, fixed_cell: bool = False,
-                     step_lr: float = 1e-5):
+                     step_lr: float = 1e-5, cache_only: bool = False):
     """TPU-first generation: pack several test rows into one sampler batch
     (grouped by padding bucket), instead of one sampler call per row like
     the reference (evaluate.py:94-99). Returns {row_index: [Crystal]}.
@@ -117,8 +117,26 @@ def _packed_generate(model, parsed, n_samples, cond_scale, key,
             chunk = idxs[s: s + pack_rows]
             cpath = (cache_dir / f"gen_b{bucket}_s{s}{tag}.npz"
                      if cache_dir is not None else None)
+            cached = None
             if cpath is not None and cpath.exists():
-                gen = _load_gen_chunk(cpath)
+                cached = _load_gen_chunk(cpath)
+                if len(cached) != len(chunk) * n_samples:
+                    # a chunk written under different row packing (other
+                    # max_rows/pack_rows/test_data) would silently pair
+                    # samples with the wrong rows — treat as missing
+                    print(f"stale cache chunk {cpath}: {len(cached)} "
+                          f"samples != {len(chunk)} rows x {n_samples}")
+                    cached = None
+            if cached is not None:
+                gen = cached
+            elif cache_only:
+                # scoring-only invocation (e.g. recompute_protocol on a CPU
+                # host): a missing chunk means the chip-side generation was
+                # interrupted — skip those rows rather than silently
+                # regenerating at CPU speed
+                print(f"cache_only: missing chunk {cpath}; skipping "
+                      f"{len(chunk)} rows")
+                continue
             else:
                 natoms, texts, ftypes, comps, cells = [], [], [], [], []
                 for i in chunk:
@@ -175,7 +193,8 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
                   fixed_cell: bool = False,
                   step_lr: float = 1e-5,
                   gen_only: bool = False,
-                  score_ids: Optional[set] = None) -> Dict[str, float]:
+                  score_ids: Optional[set] = None,
+                  cache_only: bool = False) -> Dict[str, float]:
     """Evaluate ``model`` (a Chemeleon with params loaded) on the test CSV.
 
     ``pack_rows`` > 1 batches several rows per compiled sampler call (same
@@ -239,7 +258,8 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
         pack_rows=max(1, pack_rows), csp=csp,
         comp_prior_scale=comp_prior_scale,
         cache_dir=Path(save_path) / "gen_cache" if cache_generation else None,
-        sample_steps=sample_steps, fixed_cell=fixed_cell, step_lr=step_lr)
+        sample_steps=sample_steps, fixed_cell=fixed_cell, step_lr=step_lr,
+        cache_only=cache_only)
     if gen_only:
         print(f"gen_only: {len(generated)} rows cached under "
               f"{save_path}/gen_cache; score with recompute_protocol")
@@ -278,6 +298,8 @@ def test_evaluate(model, test_data: Union[str, Path] = "data/mp-40/test.csv",
     for i, row in it:
         try:
             rec = scored.get(i)
+            if rec is None and i not in generated:
+                continue  # cache_only skipped this row's missing chunk
             if (rec is None and score_ids is not None
                     and row.get("material_id", str(i)) not in score_ids):
                 continue

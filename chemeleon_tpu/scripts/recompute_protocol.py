@@ -32,6 +32,11 @@ def main():
                     help="drop the incremental scoring checkpoint "
                          "(scores.jsonl) so changed metric definitions "
                          "re-score every row instead of resuming")
+    ap.add_argument("--allow-generate", action="store_true",
+                    help="permit generating chunks missing from the cache "
+                         "on this (CPU) host; by default missing chunks are "
+                         "skipped — scoring must never silently re-sample "
+                         "thousands of structures at CPU speed")
     ap.add_argument("--only-split", nargs="+", default=None,
                     help="CSV path(s); score only rows whose material_id "
                          "appears in them (e.g. the held-out val/test "
@@ -69,7 +74,8 @@ def main():
                   comp_prior_scale=args.comp_prior_scale,
                   sample_steps=args.sample_steps, max_rows=args.max_rows,
                   cache_generation=True, fixed_cell=args.fixed_cell,
-                  score_ids=score_ids)
+                  score_ids=score_ids,
+                  cache_only=not args.allow_generate)
 
 
 if __name__ == "__main__":

@@ -1134,3 +1134,41 @@ def test_streamlit_csp_round_trip_matches_sample_csp(model):
                                   key=jax.random.PRNGKey(4), **kw)
     for c in crystals:
         assert c.reduced_formula() == "O2Ti"
+
+
+def test_evaluate_cache_only_skips_missing(model, tmp_path, monkeypatch):
+    """cache_only scoring (recompute_protocol's default) must never sample:
+    missing chunks are skipped, and once the cache exists the same call
+    scores normally."""
+    from chemeleon_tpu.eval import evaluate as ev
+    from chemeleon_tpu.eval.evaluate import test_evaluate
+    monkeypatch.setattr(ev.M, "test_valid", lambda lst: list(lst))
+    rng = np.random.default_rng(4)
+    c = Crystal(lattice_from_parameters(4, 5, 6, 90, 90, 90),
+                rng.uniform(size=(4, 3)), rng.integers(1, 20, 4))
+    path = tmp_path / "test.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["material_id", "cif", "composition"])
+        w.writeheader()
+        w.writerow({"material_id": "mp-0", "cif": write_cif(c),
+                    "composition": c.reduced_formula()})
+    save = tmp_path / "res"
+
+    def boom(self, *a, **kw):
+        raise AssertionError("cache_only run must not sample")
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(type(model), "sample_batch", boom)
+        means = test_evaluate(model, test_data=path, n_samples=2,
+                              progress=False, save_path=str(save),
+                              cache_generation=True, cache_only=True)
+    assert means == {}  # nothing scored, nothing sampled
+
+    test_evaluate(model, test_data=path, n_samples=2, progress=False,
+                  save_path=str(save), cache_generation=True)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(type(model), "sample_batch", boom)
+        means = test_evaluate(model, test_data=path, n_samples=2,
+                              progress=False, save_path=str(save),
+                              cache_generation=True, cache_only=True)
+    assert means["n_valid_samples"] == 1  # scored purely from the cache
