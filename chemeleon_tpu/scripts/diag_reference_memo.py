@@ -24,6 +24,14 @@ scale (parity).  If it learns the mid-sigma score where ours doesn't, the
 gap is in our dense-masked CSPNet rewrite and per-layer diffing can find
 it.  Writes results/diag_reference_memo.json.
 
+Security note (ADVICE r4): this script executes reference modules
+(cspnet.py, diff_utils.py) in-process from /root/reference — public,
+untrusted content.  Both files were read end-to-end before the import was
+written (pure model/math definitions, no IO or network at module scope),
+and the synthetic package keeps every other reference module unimported.
+Manual diagnostic only: nothing in chemeleon_tpu/ or tests/ imports this
+module, and it must stay out of any test/CI path.
+
 CPU-only; safe to run while a TPU job owns the chip.
 
 SECURITY NOTE: this diagnostic imports and executes code from

@@ -18,6 +18,27 @@ PATHS_GLOB=(
   logs/mp40_geo_prompt/checkpoints/best
   logs/mp40_geo_prompt/checkpoints/last
   logs/mp40_geo_prompt/metrics.jsonl
+  # judge-read measurement artifacts (gitignore already whitelists these) —
+  # committed as the unattended chain produces them
+  results/geo2_memo_cell/means.json
+  results/geo2_memo_cell/results.csv
+  results/geo2_memo_gap_cell.json
+  results/mp40_geo2_eval/means.json
+  results/mp40_geo2_eval/results.csv
+  results/full_protocol_geo2/means.json
+  results/full_protocol_geo2/results.csv
+  results/full_protocol_geo2/means_heldout.json
+  results/full_protocol_geo2/means_train.json
+  results/geo2_prior_test/means.json
+  results/geo2_prior_test/results.csv
+  results/geo2_prior_val/means.json
+  results/geo2_prior_val/results.csv
+  results/meta_stable_pinned.json
+  results/meta_stable_pinned_geo.json
+  results/mp40_geo_prompt_eval/means.json
+  results/mp40_geo_prompt_eval/results.csv
+  results/mp40_geo_prompt_eval_prior/means.json
+  results/mp40_geo_prompt_eval_prior/results.csv
 )
 
 while :; do
