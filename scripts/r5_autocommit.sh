@@ -39,9 +39,12 @@ PATHS_GLOB=(
   results/mp40_geo_prompt_eval/results.csv
   results/mp40_geo_prompt_eval_prior/means.json
   results/mp40_geo_prompt_eval_prior/results.csv
+  results/R5_SUMMARY.md
 )
 
 while :; do
+  # refresh the auto-generated measurement summary (cheap json reads)
+  timeout 120 python scripts/r5_report.py >/dev/null 2>&1 || true
   existing=()
   for p in "${PATHS_GLOB[@]}"; do
     [ -e "$p" ] && existing+=("$p")
